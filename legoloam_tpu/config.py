@@ -1,0 +1,237 @@
+"""Static configuration for the TPU-native LeGO-LOAM rebuild.
+
+The reference keeps all configuration as compile-time ``extern const`` globals in a
+single header (reference: ``LeGO-LOAM/include/utility.h:53-136``).  We mirror that
+philosophy with frozen dataclasses whose fields become *static* jit constants:
+``N_SCAN``/``Horizon_SCAN`` fix every kernel shape, exactly like the reference's
+compile-time constants fix its ``cv::Mat`` dimensions.
+
+Unlike the reference (which requires editing the header and recompiling to switch
+sensors, ``utility.h:70-102``), a config here is just a different dataclass instance;
+jit caches one executable per distinct config.
+
+Frame convention: the rebuild works in a SINGLE lidar frame throughout — x forward,
+y left, z up.  The reference instead rotates everything into the LOAM "camera"
+convention (z forward, x left, y up) via a cyclic axis swap
+(``src/featureAssociation.cpp:500-502``) and swaps back at the gtsam boundary
+(``src/mapOptmization.cpp:947-950``).  See ``legoloam_tpu/ops/se3.py`` for the
+mapping used when comparing trajectories against the reference.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+
+@dataclasses.dataclass(frozen=True)
+class SensorConfig:
+    """Lidar geometry (reference: ``utility.h:61-102``)."""
+
+    name: str = "vlp16"
+    n_scan: int = 16                 # number of rings
+    horizon_scan: int = 1800         # columns per revolution
+    ang_res_x_deg: float = 0.2       # horizontal angular resolution
+    ang_res_y_deg: float = 2.0       # vertical angular resolution
+    ang_bottom_deg: float = 15.1     # angle of the bottom ring below horizontal
+    ground_scan_ind: int = 7         # rings 0..ground_scan_ind-1 may be ground
+    use_cloud_ring: bool = True      # trust the sensor's ring channel if present
+    scan_period: float = 0.1         # seconds per revolution (utility.h:107)
+    min_range: float = 1.0           # sensorMinimumRange (utility.h:111)
+    mount_angle_deg: float = 0.0     # sensorMountAngle (utility.h:112)
+
+    @property
+    def ang_res_x(self) -> float:
+        return math.radians(self.ang_res_x_deg)
+
+    @property
+    def ang_res_y(self) -> float:
+        return math.radians(self.ang_res_y_deg)
+
+    @property
+    def n_points(self) -> int:
+        return self.n_scan * self.horizon_scan
+
+
+# Alternate sensor geometries kept in the reference as commented-out blocks
+# (``utility.h:70-102``); here they are first-class configs.
+VLP16 = SensorConfig()
+HDL32E = SensorConfig(
+    name="hdl32e", n_scan=32, horizon_scan=1800,
+    ang_res_x_deg=360.0 / 1800, ang_res_y_deg=41.33 / 31,
+    ang_bottom_deg=30.67, ground_scan_ind=20,
+)
+VLS128 = SensorConfig(
+    name="vls128", n_scan=128, horizon_scan=1800,
+    ang_res_x_deg=0.2, ang_res_y_deg=0.3,
+    ang_bottom_deg=25.0, ground_scan_ind=10,
+)
+OS1_16 = SensorConfig(
+    name="os1_16", n_scan=16, horizon_scan=1024,
+    ang_res_x_deg=360.0 / 1024, ang_res_y_deg=33.2 / 15,
+    ang_bottom_deg=16.7, ground_scan_ind=7,
+)
+OS1_64 = SensorConfig(
+    name="os1_64", n_scan=64, horizon_scan=1024,
+    ang_res_x_deg=360.0 / 1024, ang_res_y_deg=33.2 / 63,
+    ang_bottom_deg=16.7, ground_scan_ind=15,
+)
+
+SENSORS = {c.name: c for c in (VLP16, HDL32E, VLS128, OS1_16, OS1_64)}
+
+
+@dataclasses.dataclass(frozen=True)
+class SegmentationConfig:
+    """Ground removal + cluster segmentation (reference: ``utility.h:112-118``)."""
+
+    ground_angle_thresh_deg: float = 10.0    # imageProjection.cpp:284
+    segment_theta_deg: float = 60.0          # segmentTheta (utility.h:113)
+    valid_point_num: int = 5                 # segmentValidPointNum
+    valid_line_num: int = 3                  # segmentValidLineNum
+    min_cluster_size: int = 30               # imageProjection.cpp:440
+    # Label-propagation sweeps for the connected-component kernel.  The reference
+    # does queue BFS (imageProjection.cpp:370-460); we do iterative min-label
+    # diffusion which converges once the sweep count exceeds the largest cluster
+    # graph diameter measured in alternating row/col moves per sweep.
+    ccl_max_iters: int = 48
+    # Thinning of non-feature points (imageProjection.cpp:328-339).
+    outlier_downsample: int = 5              # keep 1-in-5 columns of big outliers
+    ground_downsample: int = 5               # keep 1-in-5 ground columns
+
+
+@dataclasses.dataclass(frozen=True)
+class FeatureConfig:
+    """Curvature features (reference: ``utility.h:120-125`` + featureAssociation.cpp)."""
+
+    sections: int = 6                  # sectionsTotal
+    edge_per_section: int = 2          # sharp corner picks  (featureAssociation.cpp:709)
+    edge_less_per_section: int = 20    # less-sharp picks    (featureAssociation.cpp:711)
+    surf_per_section: int = 4          # flat planar picks   (featureAssociation.cpp:747)
+    edge_threshold: float = 0.1
+    surf_threshold: float = 0.1
+    curvature_halfwin: int = 5         # +-5 neighbors (featureAssociation.cpp:627)
+    occlusion_col_gap: int = 10        # featureAssociation.cpp:655
+    occlusion_range_jump: float = 0.3  # featureAssociation.cpp:657
+    parallel_beam_frac: float = 0.02   # featureAssociation.cpp:671
+    less_flat_leaf: float = 0.2        # VoxelGrid leaf (featureAssociation.cpp:225)
+    # Fixed capacities for the dense feature arrays (per scan).
+    max_sharp: int = 128               # >= sections*edge_per_section*n_scan caps
+    max_less_sharp: int = 2048
+    max_flat: int = 512
+    max_less_flat: int = 8192
+
+
+@dataclasses.dataclass(frozen=True)
+class OdometryConfig:
+    """Two-step LM scan-to-scan odometry (reference: featureAssociation.cpp:1044-1478)."""
+
+    max_iterations: int = 25               # featureAssociation.cpp:1674,1686
+    corr_refresh_every: int = 5            # re-search NN every 5 iters (1163)
+    nearest_sq_dist: float = 25.0          # nearestFeatureSearchSqDist (utility.h:125)
+    ring_window: float = 2.5               # +-2.5 rings for the 2nd point (1063,1174)
+    min_corner_last: int = 10              # featureAssociation.cpp:1668
+    min_surf_last: int = 100
+    degeneracy_eig_thresh: float = 10.0    # featureAssociation.cpp:1339
+    step_damping: float = 0.05             # -0.05 * d2 step scale (1321)
+    robust_weight_scale: float = 1.8       # s = 1 - 1.8*|pd2|/sqrt(sqrt(|p|)) (1251)
+    robust_weight_min: float = 0.1
+    robust_after_iter: int = 5
+    conv_rot_deg: float = 0.1              # featureAssociation.cpp:1367-1376
+    conv_trans_cm: float = 0.1
+    skip_frame_num: int = 1                # feed mapping every 2nd frame (284)
+
+
+@dataclasses.dataclass(frozen=True)
+class MappingConfig:
+    """Scan-to-map optimization + keyframes (reference: mapOptmization.cpp)."""
+
+    process_interval: float = 0.3              # mappingProcessInterval (utility.h:105)
+    corner_leaf: float = 0.2                   # mapOptmization.cpp:249-257
+    surf_leaf: float = 0.4
+    outlier_leaf: float = 0.4
+    surrounding_leaf: float = 1.0              # keyframe-pose dedup leaf
+    search_radius: float = 50.0                # surroundingKeyframeSearchRadius
+    search_num: int = 50                       # surroundingKeyframeSearchNum
+    max_iterations: int = 10                   # mapOptmization.cpp:1341
+    min_corner_map: int = 10                   # mapOptmization.cpp:1331
+    min_surf_map: int = 100
+    min_residuals: int = 50                    # mapOptmization.cpp:1238
+    line_eig_ratio: float = 3.0                # lambda1 > 3*lambda2 (1128)
+    plane_fit_tol: float = 0.2                 # reject plane if pt >0.2m off (1202)
+    nn_max_dist: float = 1.0                   # 5th NN < 1m gate (1101,1183)
+    robust_weight_scale: float = 0.9           # s = 1-0.9*|d| (1160,1213)
+    robust_weight_min: float = 0.1
+    degeneracy_eig_thresh: float = 100.0       # mapOptmization.cpp:1287
+    conv_rot_deg: float = 0.05                 # mapOptmization.cpp:1323
+    conv_trans_cm: float = 0.05
+    keyframe_dist: float = 0.3                 # new keyframe iff moved >=0.3m (1360)
+    imu_blend: float = 0.002                   # roll/pitch IMU blend weight (488-489)
+    # Dense capacities.
+    max_keyframes: int = 4096
+    kf_corner_cap: int = 2048                  # stored downsampled corner pts / keyframe
+    kf_surf_cap: int = 8192                    # stored downsampled surf+outlier pts
+    submap_corner_cap: int = 16384             # downsampled submap sizes fed to LM
+    submap_surf_cap: int = 65536
+    scan_corner_cap: int = 2048                # downsampled current-scan sizes
+    scan_surf_cap: int = 8192
+    voxel_table_size: int = 1 << 17            # hash-table slots for voxel filters
+
+
+@dataclasses.dataclass(frozen=True)
+class LoopClosureConfig:
+    """ICP loop closure (reference: mapOptmization.cpp:802-945)."""
+
+    enabled: bool = False                      # loopClosureEnableFlag (utility.h:104)
+    cadence: float = 1.0                       # 1 Hz thread (807)
+    search_radius: float = 7.0                 # historyKeyframeSearchRadius
+    history_num: int = 25                      # historyKeyframeSearchNum
+    min_time_gap: float = 30.0                 # mapOptmization.cpp:832
+    fitness_thresh: float = 0.3                # historyKeyframeFitnessScore
+    icp_max_iters: int = 100                   # mapOptmization.cpp:894
+    icp_max_corr_dist: float = 100.0
+    icp_eps: float = 1e-6
+    submap_leaf: float = 0.4
+    cur_cap: int = 8192                        # dense caps for the ICP clouds
+    hist_cap: int = 32768
+
+
+@dataclasses.dataclass(frozen=True)
+class PoseGraphConfig:
+    """Incremental SE(3) pose-graph optimizer replacing gtsam iSAM2
+    (reference: mapOptmization.cpp:36-47,1353-1454).
+
+    Instead of reproducing iSAM2's incremental Bayes-tree bookkeeping we re-solve
+    the full graph with matrix-free Gauss-Newton + preconditioned CG each time a
+    loop factor arrives (and a cheap warm-started couple of iterations otherwise).
+    At <=20K poses a full re-solve is microseconds-scale on TPU and strictly more
+    accurate than incremental relinearization.
+    """
+
+    prior_rot_sigma: float = 1e-3              # sqrt of 1e-6 (mapOptmization.cpp:347)
+    prior_trans_sigma: float = 1e-4            # sqrt of 1e-8
+    odom_rot_sigma: float = 1e-3               # between-factor noise (1384-1390)
+    odom_trans_sigma: float = 1e-4
+    gn_iters: int = 8
+    pcg_iters: int = 64
+    pcg_tol: float = 1e-8
+    max_loop_factors: int = 256
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    """Top-level bundle wired through the whole pipeline."""
+
+    sensor: SensorConfig = VLP16
+    seg: SegmentationConfig = SegmentationConfig()
+    feat: FeatureConfig = FeatureConfig()
+    odom: OdometryConfig = OdometryConfig()
+    mapping: MappingConfig = MappingConfig()
+    loop: LoopClosureConfig = LoopClosureConfig()
+    posegraph: PoseGraphConfig = PoseGraphConfig()
+    use_imu: bool = False
+
+    def replace(self, **kw) -> "PipelineConfig":
+        return dataclasses.replace(self, **kw)
+
+
+DEFAULT = PipelineConfig()

@@ -1,0 +1,153 @@
+"""Range-image projection: raw scan -> dense (N_SCAN, Horizon_SCAN) image.
+
+Reference behavior: ``src/imageProjection.cpp:199-257`` (``findStartEndAngle`` +
+``projectPointCloud``).  The reference iterates point-by-point filling ``cv::Mat``
+images; here the whole scan is projected with one fused batch of vector ops plus
+three deterministic segment reductions.
+
+Design notes (TPU-first):
+  * Everything downstream consumes the DENSE image — there is no compaction into a
+    variable-length "fullCloud"; validity is a mask channel.  This is the layout
+    the VPU wants (fixed (16, 1800) planes) and removes every dynamic shape.
+  * Cell collisions (two points projecting to one cell): the reference overwrites
+    in point order (last write wins, nondeterministic under reordering);
+    we keep the CLOSEST point per cell, deterministically (ties -> lowest point
+    index), via segment-min reductions.
+  * Per-point relative scan time is recovered from azimuth with the reference's
+    half-pass disambiguation (``src/featureAssociation.cpp:504-522``) and stored
+    as a dense channel, replacing the reference's trick of smuggling time in the
+    fractional part of ``intensity`` (``featureAssociation.cpp:523``).
+
+Input convention: a raw scan is ``points: (P, 3) float32`` + ``valid: (P,) bool``
+(+ optional ``ring: (P,) int32``), fixed-size with padding — P is a static cap.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..config import SensorConfig
+
+
+class RangeImage(NamedTuple):
+    """Dense organized scan.  All arrays (N_SCAN, H) unless noted."""
+
+    xyz: jax.Array        # (N_SCAN, H, 3) point coordinates (lidar frame)
+    rng: jax.Array        # range in meters; +inf where no return
+    valid: jax.Array      # bool: cell has a return
+    rel_time: jax.Array   # per-cell time within the scan, in [0, 1] scan fractions
+    start_ori: jax.Array  # () scan start azimuth (radians)
+    end_ori: jax.Array    # () scan end azimuth (radians, > start_ori)
+
+
+def _point_orientations(points, valid, n_points):
+    """Reference ``findStartEndAngle`` (imageProjection.cpp:199-209) plus the
+    per-point half-pass disambiguation of ``adjustDistortion``
+    (featureAssociation.cpp:504-522), vectorized.
+
+    Returns (ori, start_ori, end_ori) with ori unwrapped into [start, end].
+    """
+    x, y = points[..., 0], points[..., 1]
+    yaw = -jnp.arctan2(y, x)
+    # First / last valid point (reference assumes point order == firing order).
+    idx = jnp.arange(n_points)
+    first = jnp.argmax(valid)  # first True
+    last = n_points - 1 - jnp.argmax(valid[::-1])
+    start_ori = yaw[first]
+    end_ori = yaw[last] + 2.0 * math.pi
+    # Normalize end into [start + pi, start + 3pi)  (imageProjection.cpp:205-208)
+    end_ori = jnp.where(end_ori - start_ori > 3.0 * math.pi, end_ori - 2.0 * math.pi,
+                        end_ori)
+    end_ori = jnp.where(end_ori - start_ori < math.pi, end_ori + 2.0 * math.pi,
+                        end_ori)
+    half_passed = idx > (first + last) // 2  # proxy for the reference's running flag
+    ori = jnp.where(half_passed, yaw + 2.0 * math.pi, yaw)
+    # Pull into the window around start/end as the reference does.
+    ori = jnp.where(~half_passed & (ori < start_ori - math.pi / 2), ori + 2 * math.pi,
+                    ori)
+    ori = jnp.where(~half_passed & (ori > start_ori + math.pi * 3 / 2),
+                    ori - 2 * math.pi, ori)
+    ori = jnp.where(half_passed & (ori < end_ori - math.pi * 3 / 2), ori + 2 * math.pi,
+                    ori)
+    ori = jnp.where(half_passed & (ori > end_ori + math.pi / 2), ori - 2 * math.pi,
+                    ori)
+    return ori, start_ori, end_ori
+
+
+def project_scan(
+    points: jax.Array,
+    valid: jax.Array,
+    sensor: SensorConfig,
+    ring: Optional[jax.Array] = None,
+) -> RangeImage:
+    """Project a raw scan into a dense range image.
+
+    Row/column math follows ``src/imageProjection.cpp:229-242`` exactly; the
+    scatter is replaced by deterministic closest-point-wins segment reductions.
+    """
+    n, h = sensor.n_scan, sensor.horizon_scan
+    n_cells = n * h
+    p_cap = points.shape[0]
+    x, y, z = points[..., 0], points[..., 1], points[..., 2]
+    rng = jnp.sqrt(x * x + y * y + z * z)
+
+    # Row index: sensor ring channel if available, else vertical angle binning
+    # (imageProjection.cpp:224-231).
+    if ring is not None and sensor.use_cloud_ring:
+        row = ring.astype(jnp.int32)
+    else:
+        vert_deg = jnp.degrees(jnp.arctan2(z, jnp.sqrt(x * x + y * y)))
+        row = jnp.floor(
+            (vert_deg + sensor.ang_bottom_deg) / sensor.ang_res_y_deg
+        ).astype(jnp.int32)
+
+    # Column index (imageProjection.cpp:233-242).
+    horizon_deg = jnp.degrees(jnp.arctan2(x, y))
+    col = (-jnp.round((horizon_deg - 90.0) / sensor.ang_res_x_deg)).astype(jnp.int32) \
+        + h // 2
+    col = jnp.where(col >= h, col - h, col)
+
+    ok = (
+        valid
+        & (row >= 0) & (row < n)
+        & (col >= 0) & (col < h)
+        & (rng >= sensor.min_range)          # imageProjection.cpp:244-246
+        & jnp.isfinite(rng)
+    )
+
+    flat = jnp.where(ok, row * h + col, n_cells)  # padded cell drops into slot n_cells
+
+    # Closest-point-wins, deterministic: min range per cell, then min point index
+    # among exact-min ties, then a one-winner scatter-add.
+    big = jnp.float32(jnp.inf)
+    rng_ok = jnp.where(ok, rng, big)
+    cell_min = jax.ops.segment_min(rng_ok, flat, num_segments=n_cells + 1)
+    is_min = ok & (rng_ok <= cell_min[flat])
+    pidx = jnp.arange(p_cap, dtype=jnp.int32)
+    win_idx = jax.ops.segment_min(
+        jnp.where(is_min, pidx, p_cap), flat, num_segments=n_cells + 1
+    )
+    win = is_min & (pidx == win_idx[flat])
+
+    ori, start_ori, end_ori = _point_orientations(points, ok, p_cap)
+    rel = (ori - start_ori) / (end_ori - start_ori)
+
+    def scatter(vals):
+        out = jnp.zeros((n_cells + 1,) + vals.shape[1:], vals.dtype)
+        return out.at[flat].add(jnp.where(
+            win.reshape((-1,) + (1,) * (vals.ndim - 1)), vals, 0
+        ))[:n_cells]
+
+    xyz_img = scatter(points[..., :3]).reshape(n, h, 3)
+    rel_img = scatter(rel).reshape(n, h)
+    valid_img = (cell_min[:n_cells] < big).reshape(n, h)
+    rng_img = jnp.where(valid_img, cell_min[:n_cells].reshape(n, h), big)
+
+    return RangeImage(
+        xyz=xyz_img, rng=rng_img, valid=valid_img, rel_time=rel_img,
+        start_ori=start_ori, end_ori=end_ori,
+    )

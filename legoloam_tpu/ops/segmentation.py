@@ -1,0 +1,226 @@
+"""Ground removal + connected-component segmentation on the dense range image.
+
+Reference behavior: ``src/imageProjection.cpp:260-460`` (``groundRemoval``,
+``cloudSegmentation``, ``labelComponents``).
+
+The reference's ``labelComponents`` is a queue-based BFS from every unlabeled cell
+with hand-rolled array queues ("use std::queue ... will slow the program down
+greatly", imageProjection.cpp:138-142).  BFS is inherently sequential; the
+TPU-native replacement is classic GPU connected-component labeling:
+
+  1. Precompute the 4-neighbor connectivity ONCE from the angle predicate
+     (imageProjection.cpp:411-423) — a handful of fused elementwise ops.
+  2. Iterative min-label diffusion with pointer-jumping compression
+     (label <- label[label]), which converges in O(log diameter) sweeps instead
+     of the O(diameter) of plain diffusion.
+
+Labels are root flat-indices into the (N_SCAN*H) grid, so compression is a pure
+gather.  Cluster statistics (size, ring span) for the validity rule
+(imageProjection.cpp:440-451) are two segment reductions over the final labels.
+
+All outputs are DENSE masks (no compaction).  The reference's compacted
+"segmentedCloud + segMsg" bookkeeping (start/end ring indices, per-point ground
+flag / column / range, imageProjection.cpp:319-355) is reproduced at the feature
+extraction boundary (``ops/features.py``) where the per-ring ordering matters.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import SegmentationConfig, SensorConfig
+from .projection import RangeImage
+
+# Sentinel used by the reference for invalid clusters (imageProjection.cpp:456-458).
+OUTLIER_LABEL = 999999
+
+
+class Segmentation(NamedTuple):
+    """Dense per-cell segmentation results, all (N_SCAN, H) unless noted."""
+
+    ground: jax.Array        # bool: cell is ground (groundMat == 1)
+    label: jax.Array         # int32 cluster root id; -1 ground/invalid; OUTLIER_LABEL
+    segmented: jax.Array     # bool: cell enters the segmented cloud (features)
+    outlier: jax.Array       # bool: cell enters the outlier cloud
+    seg_ground_flag: jax.Array  # bool: segmented cell is ground (segMsg flag)
+    n_clusters: jax.Array    # () int32: number of valid clusters (diagnostic)
+
+
+def ground_removal(img: RangeImage, sensor: SensorConfig,
+                   cfg: SegmentationConfig) -> jax.Array:
+    """Reference ``groundRemoval`` (imageProjection.cpp:260-310), vectorized.
+
+    For rings 0..ground_scan_ind-1, the angle of the vector between vertically
+    adjacent returns is compared against the mount angle; both cells of a
+    near-horizontal pair are marked ground.
+    """
+    g = sensor.ground_scan_ind
+    lower = img.xyz[:g]          # (g, H, 3)
+    upper = img.xyz[1 : g + 1]
+    diff = upper - lower
+    angle = jnp.degrees(
+        jnp.arctan2(diff[..., 2], jnp.linalg.norm(diff[..., :2], axis=-1))
+    )
+    both = img.valid[:g] & img.valid[1 : g + 1]
+    flat_pair = both & (
+        jnp.abs(angle - sensor.mount_angle_deg) <= cfg.ground_angle_thresh_deg
+    )
+    ground = jnp.zeros(img.rng.shape, bool)
+    ground = ground.at[:g].set(flat_pair)
+    ground = ground.at[1 : g + 1].set(ground[1 : g + 1] | flat_pair)
+    return ground & img.valid
+
+
+def _connectivity(img: RangeImage, sensor: SensorConfig, cfg: SegmentationConfig):
+    """4-neighbor angle-predicate connectivity with column wraparound.
+
+    Edge criterion between ranges d1 >= d2 separated by angular resolution alpha:
+    ``atan2(d2*sin(a), d1 - d2*cos(a)) > segmentTheta`` (imageProjection.cpp:411-423).
+
+    Returns (conn_h, conn_v): conn_h[r, c] connects (r,c)<->(r,(c+1)%H);
+    conn_v[r, c] connects (r,c)<->(r+1,c), shape (N-1, H).
+    """
+    theta = jnp.radians(jnp.float32(cfg.segment_theta_deg))
+
+    def edge(a_rng, b_rng, alpha):
+        d1 = jnp.maximum(a_rng, b_rng)
+        d2 = jnp.minimum(a_rng, b_rng)
+        ang = jnp.arctan2(d2 * jnp.sin(alpha), d1 - d2 * jnp.cos(alpha))
+        return ang > theta
+
+    r = jnp.where(img.valid, img.rng, jnp.inf)
+    conn_h = edge(r, jnp.roll(r, -1, axis=1), jnp.float32(sensor.ang_res_x))
+    conn_h &= img.valid & jnp.roll(img.valid, -1, axis=1)
+    conn_v = edge(r[:-1], r[1:], jnp.float32(sensor.ang_res_y))
+    conn_v &= img.valid[:-1] & img.valid[1:]
+    return conn_h, conn_v
+
+
+def _label_propagation(seed_mask: jax.Array, conn_h: jax.Array, conn_v: jax.Array,
+                       max_iters: int) -> jax.Array:
+    """Min-label diffusion + pointer jumping.  Returns root flat-index labels
+    (N, H); cells outside seed_mask keep label = n_cells (inert)."""
+    n, h = seed_mask.shape
+    n_cells = n * h
+    init = jnp.where(
+        seed_mask,
+        jnp.arange(n_cells, dtype=jnp.int32).reshape(n, h),
+        jnp.int32(n_cells),
+    )
+
+    # Neighbors participate only if BOTH endpoints are segmentation seeds:
+    # the reference BFS never crosses ground/invalid cells because those have
+    # labelMat = -1 (imageProjection.cpp:295-301).
+    conn_h = conn_h & seed_mask & jnp.roll(seed_mask, -1, axis=1)
+    conn_v = conn_v & seed_mask[:-1] & seed_mask[1:]
+    big = jnp.int32(n_cells)
+
+    def sweep(labels):
+        right = jnp.roll(labels, -1, axis=1)
+        left = jnp.roll(labels, 1, axis=1)
+        lh = jnp.where(conn_h, right, big)
+        ll = jnp.where(jnp.roll(conn_h, 1, axis=1), left, big)
+        down = jnp.full_like(labels, big).at[:-1].set(
+            jnp.where(conn_v, labels[1:], big))
+        up = jnp.full_like(labels, big).at[1:].set(
+            jnp.where(conn_v, labels[:-1], big))
+        labels = jnp.minimum(jnp.minimum(labels, jnp.minimum(lh, ll)),
+                             jnp.minimum(down, up))
+        # Pointer-jumping compression: label <- label[label] (twice).
+        flat = jnp.concatenate([labels.reshape(-1), jnp.array([big])])
+        flat = flat[flat[:n_cells]]
+        flat = jnp.concatenate([flat, jnp.array([big])])[flat]
+        return flat[:n_cells].reshape(n, h)
+
+    def cond(state):
+        i, labels, prev_changed = state
+        return (i < max_iters) & prev_changed
+
+    def body(state):
+        i, labels, _ = state
+        new = sweep(labels)
+        return i + 1, new, jnp.any(new != labels)
+
+    _, labels, _ = jax.lax.while_loop(cond, body, (0, init, True))
+    return labels
+
+
+def segment(img: RangeImage, sensor: SensorConfig,
+            cfg: SegmentationConfig) -> Segmentation:
+    """Full reference ``cloudSegmentation`` (imageProjection.cpp:312-368)."""
+    n, h = sensor.n_scan, sensor.horizon_scan
+    n_cells = n * h
+    ground = ground_removal(img, sensor, cfg)
+
+    seeds = img.valid & ~ground
+    conn_h, conn_v = _connectivity(img, sensor, cfg)
+    labels = _label_propagation(seeds, conn_h, conn_v, cfg.ccl_max_iters)
+    flat_labels = labels.reshape(-1)
+
+    # Cluster validity (imageProjection.cpp:440-451): size >= 30, or size >=
+    # valid_point_num spanning >= valid_line_num rings.
+    ones = seeds.reshape(-1).astype(jnp.int32)
+    sizes = jax.ops.segment_sum(ones, flat_labels, num_segments=n_cells + 1)
+    ring_of = (jnp.arange(n_cells, dtype=jnp.int32) // h)
+    # Distinct-ring count per label: scatter-max a one-hot of the ring.
+    ring_key = flat_labels * sensor.n_scan + ring_of
+    ring_hit = jax.ops.segment_max(
+        jnp.where(seeds.reshape(-1), 1, 0),
+        jnp.where(seeds.reshape(-1), ring_key, n_cells * sensor.n_scan),
+        num_segments=n_cells * sensor.n_scan + 1,
+    )
+    # segment_max fills empty segments with INT_MIN — clamp before summing.
+    ring_span = jnp.sum(
+        jnp.maximum(
+            ring_hit[: n_cells * sensor.n_scan].reshape(n_cells, sensor.n_scan), 0
+        ),
+        axis=1,
+    )
+    valid_cluster = (sizes[:n_cells] >= cfg.min_cluster_size) | (
+        (sizes[:n_cells] >= cfg.valid_point_num)
+        & (ring_span >= cfg.valid_line_num)
+    )
+
+    cell_valid_cluster = seeds & valid_cluster[flat_labels].reshape(n, h)
+    cell_invalid_cluster = seeds & ~cell_valid_cluster
+
+    # Outlier thinning (imageProjection.cpp:328-335): invalid-cluster points in
+    # rows > ground_scan_ind kept one-in-five columns.
+    cols = jnp.arange(h)[None, :]
+    rows = jnp.arange(n)[:, None]
+    outlier = (
+        cell_invalid_cluster
+        & (rows > sensor.ground_scan_ind)
+        & (cols % cfg.outlier_downsample == 0)
+    )
+
+    # Ground thinning (imageProjection.cpp:337-339): ground kept iff col%5==0 or
+    # within 5 columns of either edge.
+    ground_kept = ground & (
+        (cols % cfg.ground_downsample == 0) | (cols <= 5) | (cols >= h - 5)
+    )
+
+    segmented = cell_valid_cluster | ground_kept
+    seg_ground_flag = ground_kept
+
+    # Count valid clusters (diagnostic; roots are cells whose label == own index).
+    root_ids = jnp.arange(n_cells, dtype=jnp.int32)
+    is_root = seeds.reshape(-1) & (flat_labels == root_ids)
+    n_clusters = jnp.sum(is_root & valid_cluster)
+
+    label_out = jnp.where(
+        cell_valid_cluster, labels,
+        jnp.where(cell_invalid_cluster, OUTLIER_LABEL, -1),
+    )
+
+    return Segmentation(
+        ground=ground,
+        label=label_out,
+        segmented=segmented,
+        outlier=outlier,
+        seg_ground_flag=seg_ground_flag,
+        n_clusters=n_clusters,
+    )

@@ -1,0 +1,214 @@
+"""Synthetic LiDAR worlds: ray-cast VLP-16-style scans with ground-truth poses.
+
+The reference ecosystem validates by playing rosbags of real Velodyne data and
+eyeballing RViz (reference: ``README.md:90-106``); no datasets ship with this
+environment, so we generate scans by ray casting against parametric scenes
+(ground plane + axis-aligned box "walls/buildings" + vertical cylinder "poles"
++ optional range noise).  Ground truth poses make ATE exact.
+
+Ray casting is jitted and vmapped over all N_SCAN*H rays — generating a scan is
+a few hundred microseconds, so 1K-scan sequences are cheap even in tests.
+
+Scan point order mimics a real Velodyne: the head spins clockwise (azimuth from
++x decreasing), one column (all rings) per firing, so per-point time increases
+with emission index — exactly the assumption behind the reference's
+``findStartEndAngle`` / ``adjustDistortion`` timing recovery
+(``src/imageProjection.cpp:199-209``, ``src/featureAssociation.cpp:504-522``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import SensorConfig
+from ..ops import se3
+from ..ops.se3 import Pose
+
+MAX_RANGE = 100.0
+
+
+class Scene(NamedTuple):
+    """Axis-aligned boxes (K, 6) [xmin ymin zmin xmax ymax zmax], vertical
+    cylinders (M, 4) [cx cy radius height], ground plane z = 0."""
+
+    boxes: jax.Array
+    cylinders: jax.Array
+
+
+def default_scene() -> Scene:
+    """A small urban block: walls, building corners, poles. Rich in both planar
+    (ground/walls) and edge (corners/poles) features."""
+    boxes = np.array(
+        [
+            # Perimeter walls of a ~50x40 m courtyard (0.4 m thick, 3 m tall)
+            [-25.0, -20.0, 0.0, 25.0, -19.6, 3.0],
+            [-25.0, 19.6, 0.0, 25.0, 20.0, 3.0],
+            [-25.0, -20.0, 0.0, -24.6, 20.0, 3.0],
+            [24.6, -20.0, 0.0, 25.0, 20.0, 3.0],
+            # Interior buildings
+            [5.0, 5.0, 0.0, 12.0, 12.0, 4.0],
+            [-14.0, 6.0, 0.0, -8.0, 14.0, 5.0],
+            [-12.0, -14.0, 0.0, -4.0, -8.0, 3.5],
+            [10.0, -12.0, 0.0, 18.0, -6.0, 4.5],
+            # Low blocks / planters
+            [-2.0, 15.0, 0.0, 2.0, 17.0, 1.0],
+            [-20.0, -4.0, 0.0, -18.0, 0.0, 1.2],
+        ],
+        np.float32,
+    )
+    cyl = np.array(
+        [
+            [3.0, -3.0, 0.15, 4.0],
+            [-5.0, 2.0, 0.2, 5.0],
+            [15.0, 3.0, 0.15, 4.0],
+            [-16.0, -10.0, 0.18, 4.5],
+            [0.0, 9.0, 0.15, 4.0],
+            [20.0, 14.0, 0.2, 5.0],
+            [-20.0, 12.0, 0.15, 4.0],
+            [8.0, -16.0, 0.15, 4.0],
+        ],
+        np.float32,
+    )
+    return Scene(boxes=jnp.asarray(boxes), cylinders=jnp.asarray(cyl))
+
+
+def _ray_ground(o, d):
+    """Intersection with plane z=0; +inf if none."""
+    s = -o[2] / jnp.where(jnp.abs(d[2]) < 1e-9, 1e-9, d[2])
+    return jnp.where((s > 0) & (d[2] < 0), s, jnp.inf)
+
+
+def _ray_boxes(o, d, boxes):
+    inv = 1.0 / jnp.where(jnp.abs(d) < 1e-9, 1e-9, d)
+    t0 = (boxes[:, :3] - o) * inv
+    t1 = (boxes[:, 3:] - o) * inv
+    tmin = jnp.max(jnp.minimum(t0, t1), axis=1)
+    tmax = jnp.min(jnp.maximum(t0, t1), axis=1)
+    hit = (tmax >= tmin) & (tmax > 0)
+    s = jnp.where(tmin > 0, tmin, tmax)  # inside-the-box rays exit through tmax
+    return jnp.min(jnp.where(hit, s, jnp.inf))
+
+
+def _ray_cylinders(o, d, cyl):
+    ox, oy = o[0] - cyl[:, 0], o[1] - cyl[:, 1]
+    dx, dy = d[0], d[1]
+    a = dx * dx + dy * dy
+    b = 2 * (ox * dx + oy * dy)
+    c = ox * ox + oy * oy - cyl[:, 2] ** 2
+    disc = b * b - 4 * a * c
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    a_safe = jnp.where(a < 1e-12, 1e-12, a)
+    s0 = (-b - sq) / (2 * a_safe)
+    s1 = (-b + sq) / (2 * a_safe)
+    s = jnp.where(s0 > 0, s0, s1)
+    z = o[2] + s * d[2]
+    hit = (disc > 0) & (s > 0) & (z >= 0) & (z <= cyl[:, 3])
+    return jnp.min(jnp.where(hit, s, jnp.inf))
+
+
+def _cast_one(o, d, scene: Scene):
+    s = jnp.minimum(_ray_ground(o, d), _ray_boxes(o, d, scene.boxes))
+    s = jnp.minimum(s, _ray_cylinders(o, d, scene.cylinders))
+    return s
+
+
+def _ray_dirs(sensor: SensorConfig) -> jax.Array:
+    """Local-frame unit directions in EMISSION order: (H*N_SCAN, 3).
+    Column c fires at azimuth psi = -(c_time) * res (clockwise spin); the
+    projection's column formula maps psi back to image column
+    (imageProjection.cpp:233-242)."""
+    h, n = sensor.horizon_scan, sensor.n_scan
+    # Elevation of ring r: bottom ring at -ang_bottom (+0.1 fudge in config).
+    elev = jnp.radians(
+        -sensor.ang_bottom_deg + sensor.ang_res_y_deg * jnp.arange(n)
+    )
+    # Emission k-th column has azimuth starting at +pi going clockwise.
+    psi = jnp.radians(180.0 - sensor.ang_res_x_deg * jnp.arange(h))
+    ce, se_ = jnp.cos(elev), jnp.sin(elev)
+    cp, sp = jnp.cos(psi), jnp.sin(psi)
+    # (h, n, 3): all rings fire per column step.
+    dirs = jnp.stack(
+        [
+            cp[:, None] * ce[None, :],
+            sp[:, None] * ce[None, :],
+            jnp.broadcast_to(se_[None, :], (h, n)),
+        ],
+        axis=-1,
+    )
+    return dirs.reshape(h * n, 3)
+
+
+@functools.partial(jax.jit, static_argnames=("sensor", "motion"))
+def raycast_scan(
+    scene: Scene,
+    pose: Pose,
+    sensor: SensorConfig,
+    noise_key: Optional[jax.Array] = None,
+    noise_sigma: float = 0.0,
+    next_pose: Optional[Pose] = None,
+    motion: bool = False,
+):
+    """Simulate one scan from ``pose`` (sensor frame origin).
+
+    Returns (points (P,3) in the scan frame, valid (P,), ring (P,)) in emission
+    order, P = H*N_SCAN.  If ``motion`` and ``next_pose`` are given, the sensor
+    interpolates from pose to next_pose during the sweep (motion distortion, for
+    de-skew testing); points are still expressed in the SCAN-START frame's
+    sensor coordinates, matching what a real (un-deskewed) lidar outputs in its
+    own spinning frame: each point is measured in the sensor frame at its firing
+    time.
+    """
+    h, n = sensor.horizon_scan, sensor.n_scan
+    dirs = _ray_dirs(sensor)  # (P, 3) emission order
+    p_total = h * n
+
+    if motion and next_pose is not None:
+        frac = (jnp.arange(p_total) // n).astype(jnp.float32) / h
+        R_t = se3.so3_interp(
+            jnp.broadcast_to(pose.R, (p_total, 3, 3)),
+            jnp.broadcast_to(next_pose.R, (p_total, 3, 3)),
+            frac,
+        )
+        t_t = pose.t[None] + frac[:, None] * (next_pose.t - pose.t)[None]
+    else:
+        R_t = jnp.broadcast_to(pose.R, (p_total, 3, 3))
+        t_t = jnp.broadcast_to(pose.t, (p_total, 3))
+
+    d_world = jnp.einsum("pij,pj->pi", R_t, dirs)
+    s = jax.vmap(lambda o, d: _cast_one(o, d, scene))(t_t, d_world)
+    if noise_key is not None and noise_sigma > 0:
+        s = s + noise_sigma * jax.random.normal(noise_key, s.shape)
+    valid = (s > sensor.min_range) & (s < MAX_RANGE)
+    pts = dirs * jnp.where(valid, s, 0.0)[:, None]
+    ring = jnp.tile(jnp.arange(n, dtype=jnp.int32), h)
+    return pts, valid, ring
+
+
+def circle_trajectory(n_scans: int, radius: float = 8.0, height: float = 0.8,
+                      angular_rate: float = 0.02) -> Pose:
+    """Batch of poses driving a circle (yaw tangent to the path)."""
+    th = angular_rate * jnp.arange(n_scans)
+    t = jnp.stack(
+        [radius * jnp.sin(th), radius * (1 - jnp.cos(th)),
+         jnp.full_like(th, height)], axis=-1)
+    yaw = th
+    R = se3.rot_z(yaw)
+    return Pose(R, t)
+
+
+def figure8_trajectory(n_scans: int, radius: float = 10.0, height: float = 0.8
+                       ) -> Pose:
+    """Figure-eight with a revisit through the origin — exercises loop closure."""
+    th = jnp.linspace(0.0, 4.0 * jnp.pi, n_scans)
+    x = radius * jnp.sin(th)
+    y = radius * jnp.sin(th) * jnp.cos(th)
+    t = jnp.stack([x, y, jnp.full_like(th, height)], axis=-1)
+    dx = jnp.gradient(x)
+    dy = jnp.gradient(y)
+    yaw = jnp.arctan2(dy, dx)
+    return Pose(se3.rot_z(yaw), t)

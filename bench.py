@@ -1,0 +1,93 @@
+#!/usr/bin/env python
+"""Benchmark: scans/sec of the flagship fused frontend+odometry step.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "scans/sec", "vs_baseline": N}
+
+Baseline = 10 scans/s — the VLP-16's 10 Hz rotation rate, i.e. the real-time
+bound the reference is built against (README.md:106, utility.h:107).
+vs_baseline is the real-time multiple; BASELINE.json targets > 10x.
+
+Usage:
+  python bench.py                 # real device (TPU under axon), odometry path
+  python bench.py --backend cpu   # force CPU (debug)
+  python bench.py --mapping       # full SLAM step cadence (odometry+mapping)
+"""
+
+import argparse
+import json
+import time
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--backend", default=None, help="cpu to force CPU")
+    ap.add_argument("--scans", type=int, default=60)
+    ap.add_argument("--warmup", type=int, default=8)
+    ap.add_argument("--mapping", action="store_true",
+                    help="bench the full SLAM cadence incl. scan-to-map")
+    args = ap.parse_args()
+
+    import jax
+    if args.backend:
+        jax.config.update("jax_platforms", args.backend)
+    import jax.numpy as jnp
+
+    from legoloam_tpu.config import DEFAULT
+    from legoloam_tpu.models import pipeline
+    from legoloam_tpu.ops.se3 import Pose
+    from legoloam_tpu.utils import synthetic
+
+    cfg = DEFAULT
+    scene = synthetic.default_scene()
+    n_pre = 12  # distinct scans, cycled (content doesn't affect timing)
+    poses = synthetic.circle_trajectory(n_pre + 1, radius=20.0,
+                                        angular_rate=0.0075)
+    scans = []
+    for k in range(n_pre):
+        pk = Pose(poses.R[k], poses.t[k])
+        nxt = Pose(poses.R[k + 1], poses.t[k + 1])
+        s = synthetic.raycast_scan(scene, pk, cfg.sensor, next_pose=nxt,
+                                   motion=True)
+        scans.append(jax.tree.map(jax.device_put, s))
+    jax.block_until_ready(scans)
+
+    if args.mapping:
+        state = pipeline.init_slam_state(cfg)
+
+        def step(state, scan, k):
+            return pipeline.slam_scan_step(
+                state, *scan, cfg, float(k) * 0.1,
+                run_mapping=(k % cfg.mapping_every == 0))
+    else:
+        from legoloam_tpu.models import odometry as odom
+
+        state = odom.init_state(cfg.odom, cfg.feat)
+
+        def step(state, scan, k):
+            return pipeline.odometry_scan_step(state, *scan, cfg)
+
+    # Warmup: compile every step variant + settle the solver.
+    for k in range(args.warmup):
+        state, out = step(state, scans[k % n_pre], k)
+    jax.block_until_ready(state)
+
+    t0 = time.perf_counter()
+    for k in range(args.scans):
+        state, out = step(state, scans[k % n_pre], k + args.warmup)
+    jax.block_until_ready(state)
+    dt = time.perf_counter() - t0
+
+    scans_per_sec = args.scans / dt
+    name = "slam_scans_per_sec" if args.mapping else "odometry_scans_per_sec"
+    dev = jax.devices()[0].platform
+    print(json.dumps({
+        "metric": f"{name} (VLP-16 synthetic, {dev})",
+        "value": round(scans_per_sec, 2),
+        "unit": "scans/sec",
+        "vs_baseline": round(scans_per_sec / 10.0, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

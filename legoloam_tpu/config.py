@@ -119,6 +119,7 @@ class FeatureConfig:
     max_less_sharp: int = 2048
     max_flat: int = 512
     max_less_flat: int = 8192
+    max_outlier: int = 2048            # thinned invalid-cluster points
 
 
 @dataclasses.dataclass(frozen=True)
@@ -166,10 +167,9 @@ class MappingConfig:
     conv_trans_cm: float = 0.05
     keyframe_dist: float = 0.3                 # new keyframe iff moved >=0.3m (1360)
     imu_blend: float = 0.002                   # roll/pitch IMU blend weight (488-489)
-    # Dense capacities.
+    # Dense capacities.  Keyframes store the downsampled current scan, so the
+    # per-keyframe cloud caps ARE the scan caps.
     max_keyframes: int = 4096
-    kf_corner_cap: int = 2048                  # stored downsampled corner pts / keyframe
-    kf_surf_cap: int = 8192                    # stored downsampled surf+outlier pts
     submap_corner_cap: int = 16384             # downsampled submap sizes fed to LM
     submap_surf_cap: int = 65536
     scan_corner_cap: int = 2048                # downsampled current-scan sizes
@@ -207,10 +207,13 @@ class PoseGraphConfig:
     accurate than incremental relinearization.
     """
 
-    prior_rot_sigma: float = 1e-3              # sqrt of 1e-6 (mapOptmization.cpp:347)
-    prior_trans_sigma: float = 1e-4            # sqrt of 1e-8
-    odom_rot_sigma: float = 1e-3               # between-factor noise (1384-1390)
-    odom_trans_sigma: float = 1e-4
+    # gtsam noiseModel VARIANCES (mapOptmization.cpp:347-350): rot 1e-6,
+    # trans 1e-8 for both the prior and the odometry chain; loop factors carry
+    # the ICP fitness score as an isotropic variance (mapOptmization.cpp:932-934).
+    prior_rot_var: float = 1e-6
+    prior_trans_var: float = 1e-8
+    odom_rot_var: float = 1e-6
+    odom_trans_var: float = 1e-8
     gn_iters: int = 8
     pcg_iters: int = 64
     pcg_tol: float = 1e-8
@@ -229,6 +232,10 @@ class PipelineConfig:
     loop: LoopClosureConfig = LoopClosureConfig()
     posegraph: PoseGraphConfig = PoseGraphConfig()
     use_imu: bool = False
+    # Mapping cadence in scans.  The reference feeds features every 2nd frame
+    # (featureAssociation.cpp:284) and throttles mapping to >=0.3 s
+    # (mapOptmization.cpp:1499) => effectively every 3rd scan at 10 Hz.
+    mapping_every: int = 3
 
     def replace(self, **kw) -> "PipelineConfig":
         return dataclasses.replace(self, **kw)

@@ -1,0 +1,279 @@
+"""Scan-to-map refinement + keyframe store — MapOptimization rebuilt.
+
+Reference behavior: ``src/mapOptmization.cpp:376-1522`` (``run``,
+``transformAssociateToMap``, ``extractSurroundingKeyFrames``,
+``downsampleCurrentScan``, ``cornerOptimization``, ``surfOptimization``,
+``LMOptimization``, ``transformUpdate``, ``saveKeyFramesAndFactor``).
+
+Design (TPU-first):
+  * The keyframe store is a preallocated ring of fixed-cap clouds + poses
+    (the reference's ``cornerCloudKeyFrames``/``surfCloudKeyFrames`` vectors +
+    ``cloudKeyPoses6D``, mapOptmization.cpp:84-86,320-334).  Appends are
+    dynamic-index writes; no allocation ever happens on the hot path.
+  * Submap assembly (the reference's KD-tree radius search + cloud cache,
+    mapOptmization.cpp:1005-1055) becomes: brute-force distances over keyframe
+    positions -> top-S nearest within the radius -> batched gather + transform
+    of their clouds -> one exact voxel downsample.  No cache is needed because
+    the whole assembly is a few fused matmuls.
+  * The scan-to-map LM is the reference's full 6-DOF Gauss-Newton (no step
+    damping, unlike odometry; matB = -d2, mapOptmization.cpp:1272) with
+    correspondences recomputed EVERY iteration, eigenvalue-100 degeneracy
+    clamp, and 0.05°/0.05 cm convergence — expressed as a ``lax.while_loop``
+    over a left-multiplicative se(3) update.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import MappingConfig
+from ..ops import lm, se3
+from ..ops.features import FeatureCloud
+from ..ops.se3 import Pose
+from ..ops.voxel import knn, voxel_downsample
+
+
+class KeyframeStore(NamedTuple):
+    R: jax.Array            # (M, 3, 3) optimized keyframe rotations
+    t: jax.Array            # (M, 3)
+    time: jax.Array         # (M,)
+    chain_R: jax.Array      # (M, 3, 3) between-factor measurement from the
+    chain_t: jax.Array      # (M, 3)    previous keyframe, captured at insertion
+                            # (gtsam BetweenFactor, mapOptmization.cpp:1384-1390)
+    corner: jax.Array       # (M, Ck, 3) scan-frame downsampled corner clouds
+    corner_valid: jax.Array
+    surf: jax.Array         # (M, Cs, 3) scan-frame surf(+outlier) clouds
+    surf_valid: jax.Array
+    count: jax.Array        # () int32
+
+
+class MapState(NamedTuple):
+    kf: KeyframeStore
+    t_bef: Pose             # transformBefMapped: odometry pose at last mapping
+    t_aft: Pose             # transformAftMapped: mapped pose at last mapping
+    initialized: jax.Array
+
+
+class MappingDiag(NamedTuple):
+    n_corner_res: jax.Array
+    n_surf_res: jax.Array
+    iters: jax.Array
+    new_keyframe: jax.Array
+    n_submap_corner: jax.Array
+    n_submap_surf: jax.Array
+
+
+def init_state(cfg: MappingConfig) -> MapState:
+    m = cfg.max_keyframes
+    kf = KeyframeStore(
+        R=jnp.broadcast_to(jnp.eye(3), (m, 3, 3)).copy(),
+        t=jnp.zeros((m, 3)),
+        time=jnp.zeros((m,)),
+        chain_R=jnp.broadcast_to(jnp.eye(3), (m, 3, 3)).copy(),
+        chain_t=jnp.zeros((m, 3)),
+        corner=jnp.zeros((m, cfg.scan_corner_cap, 3)),
+        corner_valid=jnp.zeros((m, cfg.scan_corner_cap), bool),
+        surf=jnp.zeros((m, cfg.scan_surf_cap, 3)),
+        surf_valid=jnp.zeros((m, cfg.scan_surf_cap), bool),
+        count=jnp.int32(0),
+    )
+    return MapState(kf=kf, t_bef=Pose.identity(), t_aft=Pose.identity(),
+                    initialized=jnp.array(False))
+
+
+# ---------------------------------------------------------------------------
+# Submap assembly
+# ---------------------------------------------------------------------------
+
+_SUBMAP_KF = 64  # static cap on gathered keyframes (reference: 50-keyframe
+                 # deque / 50 m radius, mapOptmization.cpp:961-1065)
+
+
+def extract_submap(kf: KeyframeStore, center: jax.Array, cfg: MappingConfig):
+    """Gather the nearest keyframes within the search radius, transform their
+    clouds to world, and voxel-downsample into fixed-cap submap arrays."""
+    m = kf.t.shape[0]
+    kf_ok = jnp.arange(m) < kf.count
+    d2 = jnp.sum((kf.t - center[None, :]) ** 2, axis=-1)
+    d2 = jnp.where(kf_ok, d2, jnp.inf)
+    sel_score, sel = jax.lax.top_k(-d2, _SUBMAP_KF)
+    sel_ok = (-sel_score) <= cfg.search_radius ** 2
+
+    def gather(cloud, valid):
+        pts = cloud[sel]                       # (S, C, 3)
+        v = valid[sel] & sel_ok[:, None]
+        world = jnp.einsum("sij,scj->sci", kf.R[sel], pts) + kf.t[sel][:, None]
+        return world.reshape(-1, 3), v.reshape(-1)
+
+    cpts, cval = gather(kf.corner, kf.corner_valid)
+    spts, sval = gather(kf.surf, kf.surf_valid)
+    sub_c, sub_cv = voxel_downsample(cpts, cval, cfg.corner_leaf,
+                                     cfg.submap_corner_cap)
+    sub_s, sub_sv = voxel_downsample(spts, sval, cfg.surf_leaf,
+                                     cfg.submap_surf_cap)
+    return (sub_c, sub_cv), (sub_s, sub_sv)
+
+
+# ---------------------------------------------------------------------------
+# Scan-to-map LM
+# ---------------------------------------------------------------------------
+
+def _corner_residuals(p_world, q_valid, sub, sub_valid, cfg: MappingConfig):
+    """cornerOptimization (mapOptmization.cpp:1093-1174): 5-NN PCA line fit."""
+    d, i = knn(p_world, q_valid, sub, sub_valid, k=5, q_tile=256, r_tile=8192)
+    gate = q_valid & (d[:, 4] < cfg.nn_max_dist)
+    nn = sub[i]                                   # (N, 5, 3)
+    c, v1, evals = lm.pca_line(nn)
+    line_ok = evals[:, 2] > cfg.line_eig_ratio * evals[:, 1]
+    t1 = c + 0.1 * v1
+    t2 = c - 0.1 * v1
+    dir_, ld2 = lm.point_to_line(p_world, t1, t2)
+    w = 1.0 - cfg.robust_weight_scale * jnp.abs(ld2)
+    ok = gate & line_ok & (w > cfg.robust_weight_min) & (ld2 > 0)
+    w = jnp.where(ok, w, 0.0)
+    return dir_ * w[:, None], ld2 * w, ok
+
+
+def _surf_residuals(p_world, q_valid, sub, sub_valid, cfg: MappingConfig):
+    """surfOptimization (mapOptmization.cpp:1176-1227): 5-NN LSQ plane fit."""
+    d, i = knn(p_world, q_valid, sub, sub_valid, k=5, q_tile=512, r_tile=8192)
+    gate = q_valid & (d[:, 4] < cfg.nn_max_dist)
+    nn = sub[i]
+    n, off, max_off = lm.fit_plane_lstsq(nn)
+    plane_ok = max_off <= cfg.plane_fit_tol
+    pd2 = jnp.sum(n * p_world, axis=-1) + off
+    rng = jnp.linalg.norm(p_world, axis=-1)
+    w = 1.0 - cfg.robust_weight_scale * jnp.abs(pd2) / jnp.sqrt(
+        jnp.maximum(jnp.sqrt(jnp.maximum(rng, 1e-9)), 1e-9))
+    ok = gate & plane_ok & (w > cfg.robust_weight_min) & (jnp.abs(pd2) > 0)
+    w = jnp.where(ok, w, 0.0)
+    return n * w[:, None], pd2 * w, ok
+
+
+def scan_to_map(
+    guess: Pose,
+    corner: jax.Array, corner_valid: jax.Array,
+    surf: jax.Array, surf_valid: jax.Array,
+    sub_c, sub_cv, sub_s, sub_sv,
+    cfg: MappingConfig,
+):
+    """Reference scan2MapOptimization (mapOptmization.cpp:1329-1350)."""
+    map_ok = (jnp.sum(sub_cv) >= cfg.min_corner_map) & (
+        jnp.sum(sub_sv) >= cfg.min_surf_map)
+
+    nc, ns = corner.shape[0], surf.shape[0]
+
+    def cond(st):
+        i, T, deg, done, _, _, _ = st
+        return (i < cfg.max_iterations) & ~done & map_ok
+
+    def body(st):
+        i, T, deg, done, _, _, _ = st
+        pc_w = se3.transform_points(T, corner)
+        ps_w = se3.transform_points(T, surf)
+        cdir, cres, c_ok = _corner_residuals(pc_w, corner_valid, sub_c, sub_cv,
+                                             cfg)
+        sdir, sres, s_ok = _surf_residuals(ps_w, surf_valid, sub_s, sub_sv, cfg)
+        p_all = jnp.concatenate([pc_w, ps_w], axis=0)
+        dir_all = jnp.concatenate([cdir, sdir], axis=0)
+        res_all = jnp.concatenate([cres, sres], axis=0)
+        ok_all = jnp.concatenate([c_ok, s_ok], axis=0)
+        enough = jnp.sum(ok_all) >= cfg.min_residuals   # mapOptmization.cpp:1238
+        J = jnp.concatenate([jnp.cross(p_all, dir_all), dir_all], axis=1)
+        delta, deg = lm.solve_normal_equations(
+            J, res_all, ok_all & enough, 1.0, deg, i == 0,
+            cfg.degeneracy_eig_thresh)
+        T_new = se3.retract(T, delta)
+        T = jax.tree.map(lambda a, b: jnp.where(enough, a, b), T_new, T)
+        rot_deg = jnp.degrees(jnp.linalg.norm(delta[:3]))
+        t_cm = jnp.linalg.norm(delta[3:]) * 100.0
+        done = ((rot_deg < cfg.conv_rot_deg) & (t_cm < cfg.conv_trans_cm)) \
+            | ~enough
+        return (i + 1, T, deg, done, jnp.sum(c_ok), jnp.sum(s_ok), enough)
+
+    init = (jnp.int32(0), guess, lm.identity_degeneracy(6), jnp.array(False),
+            jnp.int32(0), jnp.int32(0), jnp.array(False))
+    i, T, _, _, n_c, n_s, _ = jax.lax.while_loop(cond, body, init)
+    return T, i, n_c, n_s
+
+
+# ---------------------------------------------------------------------------
+# Full mapping step
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def mapping_step(
+    state: MapState,
+    corner_cloud: FeatureCloud,     # odometry's last_corner (scan-end frame)
+    surf_cloud: FeatureCloud,       # odometry's last_surf
+    outlier_cloud: FeatureCloud,    # segmentation outliers (scan-end frame)
+    odom_pose: Pose,
+    scan_time: jax.Array,
+    cfg: MappingConfig,
+) -> Tuple[MapState, Pose, MappingDiag]:
+    """One mapping update (the reference's throttled ``run`` body,
+    mapOptmization.cpp:1487-1522)."""
+    # 1. transformAssociateToMap: project odometry through the last correction.
+    guess_raw = se3.project_through_correction(odom_pose, state.t_bef,
+                                               state.t_aft)
+    guess = jax.tree.map(
+        lambda a, b: jnp.where(state.initialized, a, b), guess_raw, odom_pose)
+
+    # 2. downsampleCurrentScan (mapOptmization.cpp:1067-1091).
+    c_pts, c_ok = voxel_downsample(corner_cloud.xyz, corner_cloud.valid,
+                                   cfg.corner_leaf, cfg.scan_corner_cap)
+    surf_all = jnp.concatenate([surf_cloud.xyz, outlier_cloud.xyz], axis=0)
+    surf_all_ok = jnp.concatenate([surf_cloud.valid, outlier_cloud.valid],
+                                  axis=0)
+    s_pts, s_ok = voxel_downsample(surf_all, surf_all_ok, cfg.surf_leaf,
+                                   cfg.scan_surf_cap)
+
+    # 3. Submap around the guess.
+    (sub_c, sub_cv), (sub_s, sub_sv) = extract_submap(state.kf, guess.t, cfg)
+
+    # 4. Scan-to-map LM.
+    T, iters, n_c, n_s = scan_to_map(
+        guess, c_pts, c_ok, s_pts, s_ok, sub_c, sub_cv, sub_s, sub_sv, cfg)
+
+    # 5. saveKeyFramesAndFactor gate: moved >= keyframe_dist since last KF
+    # (mapOptmization.cpp:1360-1364); the first frame always becomes one.
+    kf = state.kf
+    last_idx = jnp.maximum(kf.count - 1, 0)
+    moved = jnp.linalg.norm(T.t - kf.t[last_idx]) >= cfg.keyframe_dist
+    is_new = (~state.initialized) | (moved & (kf.count < kf.t.shape[0]))
+
+    # Between-factor measurement from the previous (optimized) keyframe pose,
+    # captured NOW — later pose-graph corrections must not rewrite it.
+    prev_pose = Pose(kf.R[last_idx], kf.t[last_idx])
+    meas = se3.relative(prev_pose, T)
+
+    def write(arr, val):
+        return jnp.where(is_new, arr.at[kf.count].set(val), arr)
+
+    kf = kf._replace(
+        R=write(kf.R, T.R),
+        t=write(kf.t, T.t),
+        time=write(kf.time, scan_time),
+        chain_R=write(kf.chain_R, meas.R),
+        chain_t=write(kf.chain_t, meas.t),
+        corner=write(kf.corner, c_pts),
+        corner_valid=write(kf.corner_valid, c_ok),
+        surf=write(kf.surf, s_pts),
+        surf_valid=write(kf.surf_valid, s_ok),
+        count=kf.count + jnp.where(is_new, 1, 0).astype(jnp.int32),
+    )
+
+    new_state = MapState(
+        kf=kf,
+        t_bef=odom_pose,       # transformUpdate latch (mapOptmization.cpp:490-495)
+        t_aft=T,
+        initialized=jnp.array(True),
+    )
+    diag = MappingDiag(
+        n_corner_res=n_c, n_surf_res=n_s, iters=iters, new_keyframe=is_new,
+        n_submap_corner=jnp.sum(sub_cv), n_submap_surf=jnp.sum(sub_sv))
+    return new_state, T, diag

@@ -1,0 +1,280 @@
+"""Two-step LM scan-to-scan odometry — the FeatureAssociation solver rebuilt.
+
+Reference behavior: ``src/featureAssociation.cpp:1044-1725``
+(``findCorrespondingSurfFeatures/CornerFeatures``, ``calculateTransformationSurf/
+Corner``, ``updateTransformation``, ``integrateTransformation``).
+
+Design (TPU-first):
+  * The scan motion is a single se(3) twist ξ: a point measured at scan
+    fraction s has scan-start coordinates exp(s·ξ)·p.  This replaces the
+    reference's inverse-warp Euler 6-vector ``transformCur`` and its per-point
+    trig cascade ``TransformToStart`` (featureAssociation.cpp:854-877) with one
+    batched Rodrigues evaluation.
+  * LeGO-LOAM's signature two-step solve is kept exactly: step A uses
+    ground/planar matches to update only the ground-observable DOF
+    [roll, pitch, t_z]; step B uses edge matches for [yaw, t_x, t_y]
+    (camera-frame [rx, rz, ty] / [ry, tx, tz] in the reference).
+  * KD-tree NN + index-window ring search becomes one MXU brute-force kNN;
+    the ring-window rules (second point same-or-lower ring, third strictly
+    higher, all within ±2.5 rings and 25 m², featureAssociation.cpp:1163-1221)
+    are applied by masked argmin over the k candidates.
+  * The LM loop is a ``lax.while_loop`` with the reference's schedule:
+    correspondences refreshed every 5 iterations, robust reweighting after
+    iteration 5, −0.05 step damping, degeneracy projection computed on
+    iteration 0 (eigenvalue threshold 10), convergence at 0.1°/0.1 cm.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import OdometryConfig
+from ..ops import lm, se3
+from ..ops.features import FeatureCloud, ScanFeatures
+from ..ops.se3 import Pose
+from ..ops.voxel import knn
+
+_SURF_DOF = jnp.array([0, 1, 5])    # twist components [wx(roll), wy(pitch), vz]
+_CORNER_DOF = jnp.array([2, 3, 4])  # [wz(yaw), vx, vy]
+
+
+class OdometryState(NamedTuple):
+    pose: Pose               # world pose at the latest scan end (transformSum)
+    xi: jax.Array            # (6,) twist of the previous scan (const-vel prior)
+    last_corner: FeatureCloud
+    last_surf: FeatureCloud
+    last_outlier: FeatureCloud   # pass-through for mapping (scan-end frame)
+    initialized: jax.Array   # () bool
+
+
+class OdometryDiag(NamedTuple):
+    n_surf_corr: jax.Array
+    n_corner_corr: jax.Array
+    surf_iters: jax.Array
+    corner_iters: jax.Array
+
+
+def init_state(odom_cfg, feat_cfg) -> OdometryState:
+    def empty(cap):
+        return FeatureCloud(
+            xyz=jnp.zeros((cap, 3)), ring=jnp.zeros((cap,)),
+            rel_time=jnp.zeros((cap,)), valid=jnp.zeros((cap,), bool))
+
+    return OdometryState(
+        pose=Pose.identity(),
+        xi=jnp.zeros(6),
+        last_corner=empty(feat_cfg.max_less_sharp),
+        last_surf=empty(feat_cfg.max_less_flat),
+        last_outlier=empty(feat_cfg.max_outlier),
+        initialized=jnp.array(False),
+    )
+
+
+def _warp_to_start(xi: jax.Array, cloud: FeatureCloud) -> jax.Array:
+    """p_start = exp(s ξ) p — vectorized TransformToStart."""
+    p = se3.se3_exp(cloud.rel_time[:, None] * xi[None, :])
+    return se3.apply(p, cloud.xyz)
+
+
+def _warp_to_end(xi: jax.Array, cloud: FeatureCloud) -> FeatureCloud:
+    """p_end = exp((s-1) ξ) p — vectorized TransformToEnd
+    (featureAssociation.cpp:880-953, sans the IMU terms which de-skew owns)."""
+    p = se3.se3_exp((cloud.rel_time[:, None] - 1.0) * xi[None, :])
+    return cloud._replace(xyz=se3.apply(p, cloud.xyz),
+                          rel_time=jnp.zeros_like(cloud.rel_time))
+
+
+class _Corr(NamedTuple):
+    """Fixed-shape correspondence set: plane/line as (normal, offset)."""
+
+    n: jax.Array       # (F, 3) unit normal / line-distance gradient direction
+    off: jax.Array     # (F,) offset: residual = n·p + off  (planes)
+    t1: jax.Array      # (F, 3) line anchor 1 (corners; unused for planes)
+    t2: jax.Array      # (F, 3) line anchor 2
+    valid: jax.Array   # (F,)
+
+
+def _find_surf_corr(p_warped, q_valid, last: FeatureCloud,
+                    cfg: OdometryConfig) -> _Corr:
+    """Reference findCorrespondingSurfFeatures (featureAssociation.cpp:1155-1232):
+    j = NN; l = nearest same-or-lower ring; m = nearest strictly-higher ring;
+    plane through (j, l, m)."""
+    K = 10
+    d, i = knn(p_warped, q_valid, last.xyz, last.valid, k=K,
+               q_tile=256, r_tile=4096)
+    gate = cfg.nearest_sq_dist
+    j_ok = q_valid & (d[:, 0] < gate)
+    ring_j = last.ring[i[:, 0]]
+    rings = last.ring[i]                      # (F, K)
+    cand = (d < gate)
+    cand = cand.at[:, 0].set(False)           # exclude j itself
+    cand = cand & (jnp.abs(rings - ring_j[:, None]) <= cfg.ring_window)
+    low = cand & (rings <= ring_j[:, None])
+    high = cand & (rings > ring_j[:, None])
+    big = jnp.float32(1e30)
+    l_sel = jnp.argmin(jnp.where(low, d, big), axis=1)
+    m_sel = jnp.argmin(jnp.where(high, d, big), axis=1)
+    l_ok = jnp.take_along_axis(low, l_sel[:, None], 1)[:, 0]
+    m_ok = jnp.take_along_axis(high, m_sel[:, None], 1)[:, 0]
+    t1 = last.xyz[i[:, 0]]
+    t2 = last.xyz[jnp.take_along_axis(i, l_sel[:, None], 1)[:, 0]]
+    t3 = last.xyz[jnp.take_along_axis(i, m_sel[:, None], 1)[:, 0]]
+    n, _ = lm.point_to_plane(p_warped, t1, t2, t3)
+    off = -jnp.sum(n * t1, axis=-1)
+    return _Corr(n=n, off=off, t1=t1, t2=t3, valid=j_ok & l_ok & m_ok)
+
+
+def _find_corner_corr(p_warped, q_valid, last: FeatureCloud,
+                      cfg: OdometryConfig) -> _Corr:
+    """Reference findCorrespondingCornerFeatures (featureAssociation.cpp:
+    1044-1121): j = NN; m = nearest point on a DIFFERENT ring within ±2.5;
+    line through (j, m)."""
+    K = 10
+    d, i = knn(p_warped, q_valid, last.xyz, last.valid, k=K,
+               q_tile=128, r_tile=2048)
+    gate = cfg.nearest_sq_dist
+    j_ok = q_valid & (d[:, 0] < gate)
+    ring_j = last.ring[i[:, 0]]
+    rings = last.ring[i]
+    cand = (d < gate)
+    cand = cand.at[:, 0].set(False)
+    cand = cand & (jnp.abs(rings - ring_j[:, None]) <= cfg.ring_window)
+    cand = cand & (jnp.abs(rings - ring_j[:, None]) > 0.5)  # different ring
+    big = jnp.float32(1e30)
+    m_sel = jnp.argmin(jnp.where(cand, d, big), axis=1)
+    m_ok = jnp.take_along_axis(cand, m_sel[:, None], 1)[:, 0]
+    t1 = last.xyz[i[:, 0]]
+    t2 = last.xyz[jnp.take_along_axis(i, m_sel[:, None], 1)[:, 0]]
+    return _Corr(n=jnp.zeros_like(t1), off=jnp.zeros(t1.shape[0]),
+                 t1=t1, t2=t2, valid=j_ok & m_ok)
+
+
+def _residuals(p_warped, corr: _Corr, is_line: bool):
+    """(direction (F,3), signed distance (F,)) for planes or lines."""
+    if is_line:
+        dir_, dist = lm.point_to_line(p_warped, corr.t1, corr.t2)
+        return dir_, dist
+    dist = jnp.sum(corr.n * p_warped, axis=-1) + corr.off
+    return corr.n, dist
+
+
+def _robust_weight(dist, p_warped, iter_count, cfg: OdometryConfig, is_line):
+    """featureAssociation.cpp:1137-1146 (corner), 1251-1260 (surf)."""
+    if is_line:
+        s = 1.0 - cfg.robust_weight_scale * jnp.abs(dist)
+    else:
+        rng = jnp.linalg.norm(p_warped, axis=-1)
+        s = 1.0 - cfg.robust_weight_scale * jnp.abs(dist) / jnp.sqrt(
+            jnp.maximum(jnp.sqrt(jnp.maximum(rng, 1e-9)), 1e-9))
+    s = jnp.where(iter_count >= cfg.robust_after_iter, s, 1.0)
+    keep = (s > cfg.robust_weight_min) & (jnp.abs(dist) > 0)
+    return jnp.where(keep, s, 0.0), keep
+
+
+def _lm_loop(cloud: FeatureCloud, last: FeatureCloud, xi0, cfg: OdometryConfig,
+             find_corr, dof: jax.Array, is_line: bool):
+    """One of the two LM solves (surf or corner), as a fixed-shape while_loop."""
+    F = cloud.xyz.shape[0]
+    empty_corr = _Corr(
+        n=jnp.zeros((F, 3)), off=jnp.zeros(F), t1=jnp.zeros((F, 3)),
+        t2=jnp.zeros((F, 3)), valid=jnp.zeros(F, bool))
+
+    def cond(st):
+        i, xi, corr, deg, done, n_used = st
+        return (i < cfg.max_iterations) & ~done
+
+    def body(st):
+        i, xi, corr, deg, done, _ = st
+        p_warped = _warp_to_start(xi, cloud)
+        refresh = (i % cfg.corr_refresh_every) == 0
+        new_corr = jax.lax.cond(
+            refresh,
+            lambda: find_corr(p_warped, cloud.valid, last, cfg),
+            lambda: corr,
+        )
+        direction, dist = _residuals(p_warped, new_corr, is_line)
+        w, keep = _robust_weight(dist, p_warped, i, cfg, is_line)
+        row_ok = new_corr.valid & keep & cloud.valid
+        s = cloud.rel_time[:, None]
+        # Left-perturbation Jacobian scaled by the per-point warp fraction:
+        # d(exp(sδ)p')/dδ = s[-[p']x | I]  ->  J_w = s (p'×n), J_v = s n.
+        Jw = s * jnp.cross(p_warped, direction)
+        Jv = s * direction
+        J6 = jnp.concatenate([Jw, Jv], axis=1)           # (F, 6)
+        J = J6[:, dof] * w[:, None]
+        r = dist * w
+        delta, deg = lm.solve_normal_equations(
+            J, r, row_ok, cfg.step_damping, deg, i == 0,
+            cfg.degeneracy_eig_thresh)
+        xi = xi.at[dof].add(delta)
+        rot_deg = jnp.degrees(jnp.linalg.norm(delta[:2] if not is_line
+                                              else delta[:1]))
+        # Translation part of the step (cm).
+        t_cm = jnp.linalg.norm(delta[2:] if not is_line else delta[1:]) * 100.0
+        done = (rot_deg < cfg.conv_rot_deg) & (t_cm < cfg.conv_trans_cm)
+        return (i + 1, xi, new_corr, deg, done, jnp.sum(row_ok))
+
+    init = (jnp.int32(0), xi0, empty_corr, lm.identity_degeneracy(3),
+            jnp.array(False), jnp.int32(0))
+    i, xi, _, _, _, n_used = jax.lax.while_loop(cond, body, init)
+    return xi, i, n_used
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def odometry_step(
+    state: OdometryState,
+    feats: ScanFeatures,
+    cfg: OdometryConfig,
+    xi_seed: jax.Array | None = None,
+) -> Tuple[OdometryState, Pose, OdometryDiag]:
+    """Process one scan's features; returns (new state, world pose at scan end,
+    diagnostics).  ``xi_seed`` optionally overrides the constant-velocity prior
+    with an IMU-derived initial guess (updateInitialGuess,
+    featureAssociation.cpp:1639-1664)."""
+    xi0 = state.xi if xi_seed is None else xi_seed
+
+    can_solve = (
+        state.initialized
+        & (state.last_corner.count >= cfg.min_corner_last)
+        & (state.last_surf.count >= cfg.min_surf_last)
+    )
+
+    # Step A: planar features constrain [roll, pitch, tz].
+    xi_a, it_a, n_surf = _lm_loop(
+        feats.flat, state.last_surf, xi0, cfg, _find_surf_corr, _SURF_DOF,
+        is_line=False)
+    # Step B: edge features constrain [yaw, tx, ty], starting from step A.
+    xi_b, it_b, n_corner = _lm_loop(
+        feats.sharp, state.last_corner, xi_a, cfg, _find_corner_corr,
+        _CORNER_DOF, is_line=True)
+
+    xi = jnp.where(can_solve, xi_b, xi0)
+
+    # integrateTransformation (featureAssociation.cpp:1697-1725):
+    # world pose advances by the scan motion.
+    motion = se3.se3_exp(xi)
+    new_pose = jax.tree.map(
+        lambda a, b: jnp.where(state.initialized, a, b),
+        se3.compose(state.pose, motion), state.pose)
+
+    # publishCloudsLast (featureAssociation.cpp:1759-1815): warp this scan's
+    # broad feature sets to scan end; they become the next scan's reference.
+    last_corner = _warp_to_end(xi, feats.less_sharp)
+    last_surf = _warp_to_end(xi, feats.less_flat)
+    last_outlier = _warp_to_end(xi, feats.outlier)
+
+    new_state = OdometryState(
+        pose=new_pose,
+        xi=xi,
+        last_corner=last_corner,
+        last_surf=last_surf,
+        last_outlier=last_outlier,
+        initialized=jnp.array(True),
+    )
+    diag = OdometryDiag(n_surf_corr=n_surf, n_corner_corr=n_corner,
+                        surf_iters=it_a, corner_iters=it_b)
+    return new_state, new_pose, diag

@@ -1,0 +1,163 @@
+"""Per-scan pipeline assembly: the four ROS processes collapsed into jitted
+stages passing device arrays (SURVEY.md §7 design stance).
+
+The reference wires imageProjection -> featureAssociation -> mapOptmization ->
+transformFusion over TCPROS topics (``launch/run.launch:8-11``); here each
+stage is a pure function and the "topics" are NamedTuples.  The host driver
+(``run_sequence``) streams scans and collects trajectories; everything inside
+a step is one XLA program.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import PipelineConfig
+from ..ops import deskew as deskew_ops
+from ..ops import features as feat_ops
+from ..ops import projection, se3, segmentation
+from ..ops.features import ScanFeatures
+from ..ops.se3 import Pose
+from . import odometry as odom
+from .odometry import OdometryDiag, OdometryState
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def process_scan(
+    points: jax.Array,
+    valid: jax.Array,
+    ring: jax.Array,
+    cfg: PipelineConfig,
+    imu_integral: Optional[deskew_ops.ImuIntegral] = None,
+    scan_start_time: jax.Array | float = 0.0,
+) -> ScanFeatures:
+    """Frontend: raw scan -> features (imageProjection + the feature half of
+    featureAssociation)."""
+    img = projection.project_scan(points, valid, cfg.sensor, ring=ring)
+    seg = segmentation.segment(img, cfg.sensor, cfg.seg)
+    xyz = None
+    if imu_integral is not None:
+        dsk = deskew_ops.deskew_image(
+            img.xyz, img.rel_time, img.valid, jnp.asarray(scan_start_time),
+            imu_integral, scan_period=cfg.sensor.scan_period)
+        xyz = dsk.xyz
+    return feat_ops.extract_features(img, seg, cfg.sensor, cfg.feat,
+                                     xyz_deskewed=xyz)
+
+
+class OdometryOutput(NamedTuple):
+    pose: Pose
+    diag: OdometryDiag
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def odometry_scan_step(
+    state: OdometryState,
+    points: jax.Array,
+    valid: jax.Array,
+    ring: jax.Array,
+    cfg: PipelineConfig,
+) -> Tuple[OdometryState, OdometryOutput]:
+    """Fused frontend + odometry for one scan (the flagship single-chip step)."""
+    feats = process_scan(points, valid, ring, cfg)
+    new_state, pose, diag = odom.odometry_step(state, feats, cfg.odom)
+    return new_state, OdometryOutput(pose=pose, diag=diag)
+
+
+class SlamState(NamedTuple):
+    odom: OdometryState
+    mapping: "object"   # mapping.MapState (kept loose to avoid cyclic import)
+    loops: "object"     # posegraph.LoopFactors
+
+
+class SlamOutput(NamedTuple):
+    odom_pose: Pose     # 10 Hz odometry pose (/laser_odom_to_init)
+    mapped_pose: Pose   # latest mapped pose (/aft_mapped_to_init)
+    fused_pose: Pose    # odometry rate + mapping accuracy (/integrated_to_init)
+    diag: OdometryDiag
+
+
+def init_slam_state(cfg: PipelineConfig) -> SlamState:
+    from . import mapping as mapping_mod
+    from . import posegraph as pg_mod
+
+    return SlamState(
+        odom=odom.init_state(cfg.odom, cfg.feat),
+        mapping=mapping_mod.init_state(cfg.mapping),
+        loops=pg_mod.init_loop_factors(cfg.posegraph.max_loop_factors))
+
+
+def slam_scan_step(
+    state: SlamState,
+    points: jax.Array,
+    valid: jax.Array,
+    ring: jax.Array,
+    cfg: PipelineConfig,
+    scan_time: jax.Array | float,
+    run_mapping: bool,
+    run_loop: bool = False,
+):
+    """One full SLAM step.  ``run_mapping``/``run_loop`` are STATIC host-side
+    decisions (the reference's 2-frame feed + 0.3 s mapping throttle and 1 Hz
+    loop-closure thread collapsed into cadence counters), so each step variant
+    jits into its own program and the common case stays cheap."""
+    from . import fusion as fusion_mod
+    from . import loopclosure as loop_mod
+    from . import mapping as mapping_mod
+
+    odom_state, out = odometry_scan_step(state.odom, points, valid, ring, cfg)
+    map_state = state.mapping
+    loops = state.loops
+    if run_mapping:
+        map_state, mapped_pose, _mdiag = mapping_mod.mapping_step(
+            map_state, odom_state.last_corner, odom_state.last_surf,
+            odom_state.last_outlier, out.pose, jnp.asarray(scan_time),
+            cfg.mapping)
+    if run_loop and cfg.loop.enabled:
+        kf, loops, corrected, ldiag = loop_mod.close_and_correct(
+            map_state.kf, loops, cfg.loop, cfg.posegraph)
+        # correctPoses: adopt the corrected store and re-anchor the mapping
+        # correction at the corrected latest pose (mapOptmization.cpp:1429-1478).
+        t_aft = jax.tree.map(
+            lambda a, b: jnp.where(ldiag.closed, a, b), corrected,
+            map_state.t_aft)
+        map_state = map_state._replace(kf=kf, t_aft=t_aft)
+    fused = fusion_mod.fuse(out.pose, map_state.t_bef, map_state.t_aft)
+    return SlamState(odom=odom_state, mapping=map_state, loops=loops), \
+        SlamOutput(
+            odom_pose=out.pose, mapped_pose=map_state.t_aft, fused_pose=fused,
+            diag=out.diag)
+
+
+def run_slam_sequence(scans, cfg: PipelineConfig, times=None):
+    """Host driver for the full pipeline; returns fused trajectory."""
+    state = init_slam_state(cfg)
+    fused_R, fused_t = [], []
+    for k, (pts, valid, ring) in enumerate(scans):
+        t = float(k) * cfg.sensor.scan_period if times is None else times[k]
+        state, out = slam_scan_step(
+            state, pts, valid, ring, cfg, t,
+            run_mapping=(k % cfg.mapping_every == 0),
+            run_loop=cfg.loop.enabled and (k % 10 == 0) and k > 0)
+        fused_R.append(out.fused_pose.R)
+        fused_t.append(out.fused_pose.t)
+    return Pose(jnp.stack(fused_R), jnp.stack(fused_t)), state
+
+
+def run_odometry_sequence(scans, cfg: PipelineConfig):
+    """Host driver: iterate (points, valid, ring) triples, return stacked
+    world poses.  ``scans`` is an iterable; each element stays on device."""
+    state = odom.init_state(cfg.odom, cfg.feat)
+    poses_R, poses_t = [], []
+    diags = []
+    for pts, valid, ring in scans:
+        state, out = odometry_scan_step(state, pts, valid, ring, cfg)
+        poses_R.append(out.pose.R)
+        poses_t.append(out.pose.t)
+        diags.append(out.diag)
+    poses = Pose(jnp.stack(poses_R), jnp.stack(poses_t))
+    return poses, diags

@@ -52,6 +52,8 @@ class ScanFeatures(NamedTuple):
     less_sharp: FeatureCloud   # cornerPointsLessSharp (label 1, superset)
     flat: FeatureCloud         # surfPointsFlat        (label -1, ground only)
     less_flat: FeatureCloud    # surfPointsLessFlat    (0.2 m downsampled rest)
+    outlier: FeatureCloud      # thinned invalid-cluster points (outlierCloud;
+                               # mapping folds these into the surf map)
 
 
 def _compact_rings(img: RangeImage, seg: Segmentation):
@@ -267,5 +269,19 @@ def extract_features(
     )
     less_flat = FeatureCloud(xyz=pts, ring=pay[:, 0], rel_time=pay[:, 1], valid=v)
 
+    # Outlier cloud (imageProjection.cpp:328-335): gathered straight from the
+    # DENSE image (these cells are not part of the ring compaction).
+    xyz_src = img.xyz if xyz_deskewed is None else xyz_deskewed
+    out_flat = seg.outlier.reshape(-1)
+    order = jnp.argsort(~out_flat)
+    take = order[: cfg.max_outlier]
+    ok = out_flat[take]
+    outlier = FeatureCloud(
+        xyz=jnp.where(ok[:, None], xyz_src.reshape(-1, 3)[take], 0.0),
+        ring=jnp.where(ok, ring_f.reshape(-1)[take], 0.0),
+        rel_time=jnp.where(ok, img.rel_time.reshape(-1)[take], 0.0),
+        valid=ok,
+    )
+
     return ScanFeatures(sharp=sharp, less_sharp=less_sharp, flat=flat,
-                        less_flat=less_flat)
+                        less_flat=less_flat, outlier=outlier)

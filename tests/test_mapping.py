@@ -1,0 +1,103 @@
+"""Scan-to-map optimization tests: keyframe creation, submap assembly, and the
+drift-correction property (mapped trajectory must beat raw odometry)."""
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from legoloam_tpu.config import DEFAULT
+from legoloam_tpu.models import mapping, odometry as odom, pipeline
+from legoloam_tpu.ops import se3
+from legoloam_tpu.ops.se3 import Pose
+from legoloam_tpu.utils import metrics, synthetic
+
+# CPU-sized capacities.
+SMALL_MAP = dataclasses.replace(
+    DEFAULT.mapping, max_keyframes=128, submap_corner_cap=8192,
+    submap_surf_cap=16384, scan_corner_cap=1024, scan_surf_cap=4096)
+CFG = DEFAULT.replace(mapping=SMALL_MAP)
+
+
+def make_scans(scene, poses: Pose, n: int):
+    out = []
+    for k in range(n):
+        pk = Pose(poses.R[k], poses.t[k])
+        nxt = Pose(poses.R[min(k + 1, n - 1)], poses.t[min(k + 1, n - 1)])
+        pts, valid, ring = synthetic.raycast_scan(
+            scene, pk, CFG.sensor, next_pose=nxt, motion=k + 1 < n)
+        out.append((pts, valid, ring))
+    return out
+
+
+@pytest.fixture(scope="module")
+def slam_run():
+    scene = synthetic.default_scene()
+    n = 30
+    poses = synthetic.circle_trajectory(n, radius=20.0, angular_rate=0.0075)
+    scans = make_scans(scene, poses, n)
+    state = pipeline.init_slam_state(CFG)
+    fused, mapped, odoms = [], [], []
+    for k, (pts, valid, ring) in enumerate(scans):
+        state, out = pipeline.slam_scan_step(
+            state, pts, valid, ring, CFG, k * 0.1,
+            run_mapping=(k % CFG.mapping_every == 0))
+        fused.append(np.asarray(out.fused_pose.t))
+        mapped.append(np.asarray(out.mapped_pose.t))
+        odoms.append(np.asarray(out.odom_pose.t))
+    return state, np.array(fused), np.array(mapped), np.array(odoms), poses
+
+
+def test_keyframes_created(slam_run):
+    state, fused, mapped, odoms, poses = slam_run
+    count = int(state.mapping.kf.count)
+    # ~0.16 m/scan, keyframe every 0.3 m, mapping every 3rd scan.
+    assert 3 <= count <= 12
+    kf_t = np.asarray(state.mapping.kf.t)[:count]
+    # Consecutive keyframes are >= 0.3 m apart (mapOptmization.cpp:1360-1364).
+    gaps = np.linalg.norm(np.diff(kf_t, axis=0), axis=1)
+    assert np.all(gaps >= 0.29)
+
+
+def test_submap_extraction(slam_run):
+    state, *_ = slam_run
+    kf = state.mapping.kf
+    center = kf.t[0]
+    (sc, scv), (ss, ssv) = mapping.extract_submap(kf, center, CFG.mapping)
+    assert int(scv.sum()) > 100
+    assert int(ssv.sum()) > 1000
+    # Submap points are world-frame: spread must cover tens of meters.
+    pts = np.asarray(ss)[np.asarray(ssv)]
+    assert np.ptp(pts[:, 0]) > 20
+
+
+def test_fused_trajectory_accuracy(slam_run):
+    state, fused, mapped, odoms, poses = slam_run
+    gt = np.asarray(poses.t)[1:]
+    ate_fused = float(metrics.ate_rmse(jnp.asarray(fused[:-1]),
+                                       jnp.asarray(gt)))
+    ate_odom = float(metrics.ate_rmse(jnp.asarray(odoms[:-1]),
+                                      jnp.asarray(gt)))
+    assert np.isfinite(ate_fused)
+    assert ate_fused < 0.15, f"fused ATE {ate_fused:.3f}"
+    # Mapping must not make things worse than raw odometry.
+    assert ate_fused <= ate_odom * 1.5 + 0.02
+
+
+def test_mapping_ignores_far_keyframes():
+    """A keyframe 1 km away must not enter the submap."""
+    cfg = SMALL_MAP
+    st = mapping.init_state(cfg)
+    kf = st.kf
+    far = jnp.array([1000.0, 0.0, 0.0])
+    kf = kf._replace(
+        t=kf.t.at[0].set(far),
+        corner_valid=kf.corner_valid.at[0].set(True),
+        surf_valid=kf.surf_valid.at[0].set(True),
+        count=jnp.int32(1),
+    )
+    (sc, scv), (ss, ssv) = mapping.extract_submap(
+        kf, jnp.zeros(3), cfg)
+    assert int(scv.sum()) == 0
+    assert int(ssv.sum()) == 0

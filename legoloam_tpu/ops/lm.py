@@ -23,6 +23,8 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
+from . import smallalg
+
 
 class DegeneracyState(NamedTuple):
     P: jax.Array           # (D, D) step projection matrix
@@ -35,13 +37,21 @@ def identity_degeneracy(d: int) -> DegeneracyState:
 
 def analyze_degeneracy(AtA: jax.Array, eig_thresh: float) -> DegeneracyState:
     """Reference degeneracy analysis: eigen-decompose the normal matrix and
-    build the projection that zeroes under-constrained directions."""
-    evals, evecs = jnp.linalg.eigh(AtA)  # ascending; columns are eigenvectors
+    build the projection that zeroes under-constrained directions.
+
+    3x3 systems use the closed-form symmetric eigensolver (TPU-friendly);
+    larger systems fall back to ``jnp.linalg.eigh``.  For symmetric AtA the
+    eigenbasis is orthonormal, so V⁻¹ = Vᵀ and the reference's
+    ``matV.inv() * matV2`` is just Vᵀ·V2 — no solve needed."""
+    if AtA.shape[-1] == 3:
+        evals, evecs = smallalg.eigh3x3(AtA)
+    else:
+        evals, evecs = jnp.linalg.eigh(AtA)
     keep = evals >= eig_thresh
-    # V has eigenvectors as rows (to match the cv::eigen layout): V = evecsᵀ.
+    # V has eigenvectors as rows (the cv::eigen layout): V = evecsᵀ.
     V = evecs.T
     V2 = jnp.where(keep[:, None], V, 0.0)
-    P = jnp.linalg.solve(V, V2)  # = V⁻¹ V2, exactly matV.inv() * matV2
+    P = V.T @ V2
     return DegeneracyState(P=P, is_degenerate=jnp.any(~keep))
 
 
@@ -65,15 +75,24 @@ def solve_normal_equations(
     rm = jnp.where(row_valid, r, 0.0)
     AtA = Jm.T @ Jm
     AtB = Jm.T @ (-damping * rm)
-    new_deg = analyze_degeneracy(AtA, eig_thresh)
-    deg = jax.tree.map(
-        lambda new, old: jnp.where(update_degeneracy, new, old), new_deg, deg
+    # The eigendecomposition only happens on the refresh iteration (the
+    # reference computes it on iteration 0 only); cond skips it elsewhere.
+    deg = jax.lax.cond(
+        update_degeneracy,
+        lambda: analyze_degeneracy(AtA, eig_thresh),
+        lambda: deg,
     )
     # Solve the (possibly ill-conditioned) system with a tiny Tikhonov floor to
     # keep the solve finite; the degeneracy projection then removes the bad
-    # directions exactly as the reference's matP does.
+    # directions exactly as the reference's matP does.  Closed-form solves
+    # (no pivoted LU) — these run inside lax.while_loop on TPU.
     d = AtA.shape[0]
-    delta = jnp.linalg.solve(AtA + 1e-6 * jnp.eye(d), AtB)
+    if d == 3:
+        delta = smallalg.solve3(AtA + 1e-6 * jnp.eye(3), AtB)
+    elif d == 6:
+        delta = smallalg.solve6_spd(AtA + 1e-6 * jnp.eye(6), AtB)
+    else:
+        delta = jnp.linalg.solve(AtA + 1e-6 * jnp.eye(d), AtB)
     delta = jnp.where(deg.is_degenerate, deg.P @ delta, delta)
     delta = jnp.where(jnp.isfinite(delta), delta, 0.0)  # NaN guard (ref: 1362)
     return delta, deg
@@ -122,7 +141,7 @@ def fit_plane_lstsq(pts: jax.Array) -> Tuple[jax.Array, jax.Array, jax.Array]:
     ones = -jnp.ones(pts.shape[:-1] + (1,))
     AtA = jnp.einsum("nki,nkj->nij", pts, pts)
     Atb = jnp.einsum("nki,nk->ni", pts, ones[..., 0])
-    n_raw = jnp.linalg.solve(AtA + 1e-9 * jnp.eye(3), Atb[..., None])[..., 0]
+    n_raw = smallalg.solve3(AtA + 1e-9 * jnp.eye(3), Atb)
     norm = jnp.linalg.norm(n_raw, axis=-1, keepdims=True)
     n = n_raw / jnp.maximum(norm, 1e-12)
     d = 1.0 / jnp.maximum(norm[..., 0], 1e-12)
@@ -139,5 +158,5 @@ def pca_line(pts: jax.Array) -> Tuple[jax.Array, jax.Array, jax.Array]:
     c = jnp.mean(pts, axis=1)
     q = pts - c[:, None, :]
     cov = jnp.einsum("nki,nkj->nij", q, q) / pts.shape[1]
-    evals, evecs = jnp.linalg.eigh(cov)
+    evals, evecs = smallalg.eigh3x3(cov)   # batched closed form
     return c, evecs[..., -1], evals

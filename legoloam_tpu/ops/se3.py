@@ -169,9 +169,11 @@ def se3_exp(xi: jax.Array) -> Pose:
 
 
 def se3_log(p: Pose) -> jax.Array:
+    from . import smallalg  # local import to avoid a cycle at module load
+
     w = so3_log(p.R)
     V = _left_jacobian(w)
-    v = jnp.linalg.solve(V, p.t[..., None])[..., 0]
+    v = smallalg.solve3(V, p.t)  # closed form: V is 3x3, well-conditioned
     return jnp.concatenate([w, v], axis=-1)
 
 

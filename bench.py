@@ -24,6 +24,9 @@ def main():
     ap.add_argument("--backend", default=None, help="cpu to force CPU")
     ap.add_argument("--scans", type=int, default=60)
     ap.add_argument("--warmup", type=int, default=8)
+    ap.add_argument("--block", type=int, default=12,
+                    help="scans per program execution (amortizes the axon "
+                         "per-execution overhead; 1 = pure streaming)")
     ap.add_argument("--mapping", action="store_true",
                     help="bench the full SLAM cadence incl. scan-to-map")
     args = ap.parse_args()
@@ -59,26 +62,40 @@ def main():
             return pipeline.slam_scan_step(
                 state, *scan, cfg, float(k) * 0.1,
                 run_mapping=(k % cfg.mapping_every == 0))
+
+        scans_per_step = 1
     else:
         from legoloam_tpu.models import odometry as odom
 
         state = odom.init_state(cfg.odom, cfg.feat)
+        if args.block > 1:
+            block = tuple(jnp.stack([scans[i % n_pre][j]
+                                     for i in range(args.block)])
+                          for j in range(3))
 
-        def step(state, scan, k):
-            return pipeline.odometry_scan_step(state, *scan, cfg)
+            def step(state, scan, k):
+                return pipeline.odometry_scan_block(state, *block, cfg)
+
+            scans_per_step = args.block
+        else:
+            def step(state, scan, k):
+                return pipeline.odometry_scan_step(state, *scan, cfg)
+
+            scans_per_step = 1
 
     # Warmup: compile every step variant + settle the solver.
     for k in range(args.warmup):
         state, out = step(state, scans[k % n_pre], k)
     jax.block_until_ready(state)
 
+    n_steps = max(1, args.scans // scans_per_step)
     t0 = time.perf_counter()
-    for k in range(args.scans):
+    for k in range(n_steps):
         state, out = step(state, scans[k % n_pre], k + args.warmup)
     jax.block_until_ready(state)
     dt = time.perf_counter() - t0
 
-    scans_per_sec = args.scans / dt
+    scans_per_sec = n_steps * scans_per_step / dt
     name = "slam_scans_per_sec" if args.mapping else "odometry_scans_per_sec"
     dev = jax.devices()[0].platform
     print(json.dumps({

@@ -1,0 +1,151 @@
+"""Command-line runner — the reference's launch file + rosbag replay, as one
+deterministic process.
+
+Reference: ``roslaunch lego_loam run.launch`` + ``rosbag play`` + RViz
+(``launch/run.launch``, README.md:90-106).  Here:
+
+    python -m legoloam_tpu --scans /data/seq/*.lpk --out /tmp/run1
+    python -m legoloam_tpu --synthetic 200 --out /tmp/run1  # no dataset needed
+
+Outputs (the reference's /tmp PCD dumps + more, mapOptmization.cpp:730-755):
+    out/trajectory_fused.txt   TUM-format fused trajectory (10 Hz equivalent)
+    out/trajectory_mapped.txt  TUM-format mapped keyframe trajectory
+    out/global_map.pcd         voxel-downsampled world map
+    out/checkpoint.npz         full resumable SLAM state
+    out/profile.txt            per-stage wall-clock summary
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+import sys
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="legoloam_tpu", description=__doc__)
+    ap.add_argument("--scans", nargs="*", default=None,
+                    help="scan files (.lpk/.bin/.pcd), in sequence order")
+    ap.add_argument("--synthetic", type=int, default=0,
+                    help="run N ray-cast synthetic scans instead of files")
+    ap.add_argument("--out", required=True, help="output directory")
+    ap.add_argument("--sensor", default="vlp16",
+                    choices=["vlp16", "hdl32e", "vls128", "os1_16", "os1_64"])
+    ap.add_argument("--loop-closure", action="store_true")
+    ap.add_argument("--odometry-only", action="store_true",
+                    help="skip mapping (BASELINE config 2 mode)")
+    ap.add_argument("--resume", default=None, help="checkpoint to resume from")
+    ap.add_argument("--checkpoint-every", type=int, default=500)
+    ap.add_argument("--backend", default=None, help="cpu to force CPU")
+    ap.add_argument("--preset", default="default", choices=["default", "small"],
+                    help="'small' shrinks map capacities (CPU debugging)")
+    args = ap.parse_args(argv)
+
+    import jax
+    if args.backend:
+        jax.config.update("jax_platforms", args.backend)
+    import dataclasses
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from .config import DEFAULT, SENSORS
+    from .models import pipeline
+    from .ops.se3 import Pose
+    from .utils import checkpoint, export, io as lio, profiling, synthetic
+
+    cfg = DEFAULT.replace(sensor=SENSORS[args.sensor])
+    if args.preset == "small":
+        cfg = cfg.replace(mapping=dataclasses.replace(
+            cfg.mapping, max_keyframes=128, submap_corner_cap=4096,
+            submap_surf_cap=8192, scan_corner_cap=1024, scan_surf_cap=4096))
+    if args.loop_closure:
+        cfg = cfg.replace(loop=dataclasses.replace(cfg.loop, enabled=True))
+
+    os.makedirs(args.out, exist_ok=True)
+    timer = profiling.StageTimer()
+
+    # --- scan source ---
+    if args.synthetic:
+        scene = synthetic.default_scene()
+        n = args.synthetic
+        poses = synthetic.circle_trajectory(n, radius=20.0,
+                                            angular_rate=0.0075)
+
+        def scan_iter():
+            for k in range(n):
+                pk = Pose(poses.R[k], poses.t[k])
+                nxt = Pose(poses.R[min(k + 1, n - 1)],
+                           poses.t[min(k + 1, n - 1)])
+                with timer.stage("raycast"):
+                    yield synthetic.raycast_scan(
+                        scene, pk, cfg.sensor, next_pose=nxt,
+                        motion=k + 1 < n)
+    else:
+        paths = []
+        for p in (args.scans or []):
+            paths.extend(sorted(glob.glob(p)) if any(c in p for c in "*?")
+                         else [p])
+        if not paths:
+            ap.error("no scans given (use --scans or --synthetic N)")
+        loader = lio.ScanLoader(
+            paths, point_cap=cfg.sensor.n_points,
+            n_scan=cfg.sensor.n_scan,
+            ang_bottom_deg=cfg.sensor.ang_bottom_deg,
+            ang_res_y_deg=cfg.sensor.ang_res_y_deg)
+
+        def scan_iter():
+            for xyz, valid, ring in loader:
+                yield jnp.asarray(xyz), jnp.asarray(valid), jnp.asarray(ring)
+
+    # --- run ---
+    state = pipeline.init_slam_state(cfg)
+    if args.resume:
+        state = checkpoint.load_state(args.resume, state)
+    fused_R, fused_t, times = [], [], []
+    for k, scan in enumerate(scan_iter()):
+        t = k * cfg.sensor.scan_period
+        with timer.stage("slam_step"):
+            state, out = pipeline.slam_scan_step(
+                state, *scan, cfg, t,
+                run_mapping=not args.odometry_only
+                and (k % cfg.mapping_every == 0),
+                run_loop=cfg.loop.enabled and k % 10 == 0 and k > 0)
+        fused_R.append(out.fused_pose.R)
+        fused_t.append(out.fused_pose.t)
+        times.append(t)
+        if args.checkpoint_every and (k + 1) % args.checkpoint_every == 0:
+            with timer.stage("checkpoint"):
+                checkpoint.save_state(
+                    os.path.join(args.out, "checkpoint.npz"), state)
+        if (k + 1) % 100 == 0:
+            print(f"[legoloam_tpu] {k + 1} scans, "
+                  f"{int(state.mapping.kf.count)} keyframes", file=sys.stderr)
+
+    # --- outputs ---
+    fused = Pose(jnp.stack(fused_R), jnp.stack(fused_t))
+    export.write_trajectory_tum(
+        os.path.join(args.out, "trajectory_fused.txt"), times, fused)
+    kf = state.mapping.kf
+    n_kf = int(kf.count)
+    if n_kf:
+        export.write_trajectory_tum(
+            os.path.join(args.out, "trajectory_mapped.txt"),
+            np.asarray(kf.time[:n_kf]),
+            Pose(kf.R[:n_kf], kf.t[:n_kf]))
+        pts, val = export.assemble_global_map(kf)
+        export.write_pcd(os.path.join(args.out, "global_map.pcd"),
+                         np.asarray(pts), np.asarray(val))
+    checkpoint.save_state(os.path.join(args.out, "checkpoint.npz"), state)
+    with open(os.path.join(args.out, "profile.txt"), "w") as f:
+        f.write(timer.summary() + "\n")
+    n_scans = len(times)
+    rate = timer.counts["slam_step"] / max(timer.totals["slam_step"], 1e-9)
+    print(f"[legoloam_tpu] done: {n_scans} scans, {n_kf} keyframes, "
+          f"{rate:.1f} scans/s -> {args.out}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

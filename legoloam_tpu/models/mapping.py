@@ -124,7 +124,7 @@ def extract_submap(kf: KeyframeStore, center: jax.Array, cfg: MappingConfig):
 
 def _corner_residuals(p_world, q_valid, sub, sub_valid, cfg: MappingConfig):
     """cornerOptimization (mapOptmization.cpp:1093-1174): 5-NN PCA line fit."""
-    d, i = knn(p_world, q_valid, sub, sub_valid, k=5, q_tile=256, r_tile=8192)
+    d, i = knn(p_world, q_valid, sub, sub_valid, k=5)
     gate = q_valid & (d[:, 4] < cfg.nn_max_dist)
     nn = sub[i]                                   # (N, 5, 3)
     c, v1, evals = lm.pca_line(nn)
@@ -140,7 +140,7 @@ def _corner_residuals(p_world, q_valid, sub, sub_valid, cfg: MappingConfig):
 
 def _surf_residuals(p_world, q_valid, sub, sub_valid, cfg: MappingConfig):
     """surfOptimization (mapOptmization.cpp:1176-1227): 5-NN LSQ plane fit."""
-    d, i = knn(p_world, q_valid, sub, sub_valid, k=5, q_tile=512, r_tile=8192)
+    d, i = knn(p_world, q_valid, sub, sub_valid, k=5)
     gate = q_valid & (d[:, 4] < cfg.nn_max_dist)
     nn = sub[i]
     n, off, max_off = lm.fit_plane_lstsq(nn)

@@ -14,14 +14,16 @@ Design (TPU-first):
     ground/planar matches to update only the ground-observable DOF
     [roll, pitch, t_z]; step B uses edge matches for [yaw, t_x, t_y]
     (camera-frame [rx, rz, ty] / [ry, tx, tz] in the reference).
-  * KD-tree NN + index-window ring search becomes one MXU brute-force kNN;
-    the ring-window rules (second point same-or-lower ring, third strictly
-    higher, all within ±2.5 rings and 25 m², featureAssociation.cpp:1163-1221)
-    are applied by masked argmin over the k candidates.
-  * The LM loop is a ``lax.while_loop`` with the reference's schedule:
-    correspondences refreshed every 5 iterations, robust reweighting after
-    iteration 5, −0.05 step damping, degeneracy projection computed on
-    iteration 0 (eigenvalue threshold 10), convergence at 0.1°/0.1 cm.
+  * KD-tree NN + index-window ring search becomes fused matmul+argmin kNN
+    passes (ops/voxel.py); the ring-window rules (second point same-or-lower
+    ring, third strictly higher, all within ±2.5 rings and 25 m²,
+    featureAssociation.cpp:1163-1221) are applied by masked argmin over the
+    k candidates.
+  * The LM schedule is the compressed equivalent of the reference's
+    (config.OdometryConfig): 5 statically-unrolled iterations at step 0.2262
+    with per-iteration correspondence refresh, robust reweighting from
+    iteration 1, degeneracy projection on iteration 0 (eigenvalue threshold
+    10), convergence freeze at 0.1°/0.1 cm.
 """
 
 from __future__ import annotations
@@ -177,28 +179,29 @@ def _robust_weight(dist, p_warped, iter_count, cfg: OdometryConfig, is_line):
 
 def _lm_loop(cloud: FeatureCloud, last: FeatureCloud, xi0, cfg: OdometryConfig,
              find_corr, dof: jax.Array, is_line: bool):
-    """One of the two LM solves (surf or corner), as a fixed-shape while_loop."""
-    F = cloud.xyz.shape[0]
-    empty_corr = _Corr(
-        n=jnp.zeros((F, 3)), off=jnp.zeros(F), t1=jnp.zeros((F, 3)),
-        t2=jnp.zeros((F, 3)), valid=jnp.zeros(F, bool))
+    """One of the two LM solves (surf or corner).
 
-    def cond(st):
-        i, xi, corr, deg, done, n_used = st
-        return (i < cfg.max_iterations) & ~done
-
-    def body(st):
-        i, xi, corr, deg, done, _ = st
+    STATICALLY UNROLLED: with the compressed default schedule (5 iterations,
+    correspondences refreshed every iteration) a Python-unrolled loop with a
+    "converged" freeze mask replaces the reference's early-exit while-loop —
+    identical math, and it removes ``lax.while_loop``/``lax.cond`` from the
+    program, which the axon TPU backend executes far more slowly than straight-
+    line fused code.  Iterations after convergence still run but are no-ops
+    (delta zeroed by the freeze mask); at <=5 cheap iterations that costs less
+    than dynamic control flow does."""
+    deg = lm.identity_degeneracy(3)
+    xi = xi0
+    done = jnp.array(False)
+    corr = None
+    n_used = jnp.int32(0)
+    iters = jnp.int32(0)
+    for i in range(cfg.max_iterations):
         p_warped = _warp_to_start(xi, cloud)
-        refresh = (i % cfg.corr_refresh_every) == 0
-        new_corr = jax.lax.cond(
-            refresh,
-            lambda: find_corr(p_warped, cloud.valid, last, cfg),
-            lambda: corr,
-        )
-        direction, dist = _residuals(p_warped, new_corr, is_line)
+        if i % cfg.corr_refresh_every == 0 or corr is None:
+            corr = find_corr(p_warped, cloud.valid, last, cfg)
+        direction, dist = _residuals(p_warped, corr, is_line)
         w, keep = _robust_weight(dist, p_warped, i, cfg, is_line)
-        row_ok = new_corr.valid & keep & cloud.valid
+        row_ok = corr.valid & keep & cloud.valid & ~done
         s = cloud.rel_time[:, None]
         # Left-perturbation Jacobian scaled by the per-point warp fraction:
         # d(exp(sδ)p')/dδ = s[-[p']x | I]  ->  J_w = s (p'×n), J_v = s n.
@@ -210,18 +213,16 @@ def _lm_loop(cloud: FeatureCloud, last: FeatureCloud, xi0, cfg: OdometryConfig,
         delta, deg = lm.solve_normal_equations(
             J, r, row_ok, cfg.step_damping, deg, i == 0,
             cfg.degeneracy_eig_thresh)
+        delta = delta * ~done                            # freeze once converged
         xi = xi.at[dof].add(delta)
         rot_deg = jnp.degrees(jnp.linalg.norm(delta[:2] if not is_line
                                               else delta[:1]))
-        # Translation part of the step (cm).
         t_cm = jnp.linalg.norm(delta[2:] if not is_line else delta[1:]) * 100.0
-        done = (rot_deg < cfg.conv_rot_deg) & (t_cm < cfg.conv_trans_cm)
-        return (i + 1, xi, new_corr, deg, done, jnp.sum(row_ok))
-
-    init = (jnp.int32(0), xi0, empty_corr, lm.identity_degeneracy(3),
-            jnp.array(False), jnp.int32(0))
-    i, xi, _, _, _, n_used = jax.lax.while_loop(cond, body, init)
-    return xi, i, n_used
+        n_used = jnp.where(done, n_used, jnp.sum(row_ok))
+        iters = iters + jnp.where(done, 0, 1)
+        done = done | ((rot_deg < cfg.conv_rot_deg)
+                       & (t_cm < cfg.conv_trans_cm))
+    return xi, iters, n_used
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))

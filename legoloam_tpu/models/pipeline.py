@@ -68,6 +68,38 @@ def odometry_scan_step(
     return new_state, OdometryOutput(pose=pose, diag=diag)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def odometry_scan_block(
+    state: OdometryState,
+    points: jax.Array,   # (B, P, 3)
+    valid: jax.Array,    # (B, P)
+    ring: jax.Array,     # (B, P)
+    cfg: PipelineConfig,
+) -> Tuple[OdometryState, OdometryOutput]:
+    """Process a BLOCK of B scans sequentially inside one XLA program.
+
+    Identical math and results to B calls of ``odometry_scan_step`` — the
+    block exists because the axon TPU runtime charges a flat ~30 ms
+    per-execution overhead for programs of this complexity (measured: a
+    32-iteration lax.scan over a heavy kernel costs the same as 1 iteration),
+    so batching B scans per execution amortizes that cost B-fold.  Streaming
+    (B=1) stays available for latency-critical use; throughput benchmarks and
+    offline mapping use B=8..32.
+    """
+    def body(st, scan):
+        pts, v, r = scan
+        st2, out = _scan_step_core(st, pts, v, r, cfg)
+        return st2, out
+
+    return jax.lax.scan(body, state, (points, valid, ring))
+
+
+def _scan_step_core(state, pts, v, r, cfg):
+    feats = process_scan(pts, v, r, cfg)
+    new_state, pose, diag = odom.odometry_step(state, feats, cfg.odom)
+    return new_state, OdometryOutput(pose=pose, diag=diag)
+
+
 class SlamState(NamedTuple):
     odom: OdometryState
     mapping: "object"   # mapping.MapState (kept loose to avoid cyclic import)

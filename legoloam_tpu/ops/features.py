@@ -31,6 +31,7 @@ import jax.numpy as jnp
 from ..config import FeatureConfig, SensorConfig
 from .projection import RangeImage
 from .segmentation import Segmentation
+from .masking import masked_fill
 from .voxel import voxel_downsample_with_payload
 
 
@@ -175,14 +176,17 @@ def extract_features(
     gap = jnp.abs(col_r - c["col"]) > cfg.occlusion_col_gap  # between i and i+1
     flat_idx = idx + jnp.arange(n, dtype=jnp.int32)[:, None] * h
 
+    SENT = jnp.float32(1e30)  # finite sentinel (arithmetic masking; masking.py)
+
     def lane_values(mask_grid, values_grid, sign):
         """(n_lanes, h) candidate values restricted to each lane's span."""
-        v = jnp.where(mask_grid, values_grid, -jnp.inf if sign > 0 else jnp.inf)
+        fill = -SENT if sign > 0 else SENT
+        v = masked_fill(values_grid, mask_grid, fill)
         v = jnp.repeat(v, cfg.sections, axis=0)  # (n_lanes, h)
         pos = jnp.broadcast_to(jnp.arange(h), (n_lanes, h))
         in_sec = (pos >= sec_lo[:, None]) & (pos <= sec_hi[:, None]) \
             & lane_ok[:, None]
-        return jnp.where(in_sec, v, -jnp.inf if sign > 0 else jnp.inf)
+        return masked_fill(v, in_sec, fill)
 
     def suppress(picked_flat, lane_pick_idx, lane_valid):
         """Scatter the reference's +-5 suppression window for each lane's pick,
@@ -215,7 +219,7 @@ def extract_features(
         vals = lane_values(mask, curvature, sign=+1)
         pick = jnp.argmax(vals, axis=1).astype(jnp.int32)
         pick_val = jnp.take_along_axis(vals, pick[:, None], axis=1)[:, 0]
-        ok = jnp.isfinite(pick_val)
+        ok = pick_val > -1e29
         lab = jnp.int8(2) if t < cfg.edge_per_section else jnp.int8(1)
         base = lanes_ring * h + pick
         label = label.at[jnp.where(ok, base, n * h)].set(lab, mode="drop")
@@ -231,7 +235,7 @@ def extract_features(
         vals = lane_values(mask, curvature, sign=-1)
         pick = jnp.argmin(vals, axis=1).astype(jnp.int32)
         pick_val = jnp.take_along_axis(vals, pick[:, None], axis=1)[:, 0]
-        ok = jnp.isfinite(pick_val)
+        ok = pick_val < 1e29
         base = lanes_ring * h + pick
         label = label.at[jnp.where(ok, base, n * h)].set(jnp.int8(-1),
                                                          mode="drop")

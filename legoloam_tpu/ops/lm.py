@@ -76,12 +76,18 @@ def solve_normal_equations(
     AtA = Jm.T @ Jm
     AtB = Jm.T @ (-damping * rm)
     # The eigendecomposition only happens on the refresh iteration (the
-    # reference computes it on iteration 0 only); cond skips it elsewhere.
-    deg = jax.lax.cond(
-        update_degeneracy,
-        lambda: analyze_degeneracy(AtA, eig_thresh),
-        lambda: deg,
-    )
+    # reference computes it on iteration 0 only).  With a statically unrolled
+    # caller the flag is a Python bool and the branch resolves at trace time;
+    # traced flags fall back to lax.cond.
+    if isinstance(update_degeneracy, bool):
+        if update_degeneracy:
+            deg = analyze_degeneracy(AtA, eig_thresh)
+    else:
+        deg = jax.lax.cond(
+            update_degeneracy,
+            lambda: analyze_degeneracy(AtA, eig_thresh),
+            lambda: deg,
+        )
     # Solve the (possibly ill-conditioned) system with a tiny Tikhonov floor to
     # keep the solve finite; the degeneracy projection then removes the bad
     # directions exactly as the reference's matP does.  Closed-form solves

@@ -7,13 +7,13 @@ Reference usage:
     1054,1165``, ``src/mapOptmization.cpp:1099,1181,1006,825,771``
     -> ``knn`` here (tiled brute force on the MXU).
 
-Why brute force instead of a KD-tree or grid hash: at this problem's sizes
-(queries <= 8K, references <= 64K) the full distance matrix is a few dozen MXU
-matmul tiles — microseconds of systolic-array work — while tree traversal is
-branchy scalar code TPUs execute catastrophically badly.  The classic
-||q - r||² = ||q||² + ||r||² - 2 q·r decomposition turns the whole search into
-one batched matmul + top-k, tiled to bound memory.  A Pallas fused
-distance+top-k kernel is the planned upgrade for the map-sized search.
+Why brute force instead of a KD-tree: at this problem's sizes (queries <=
+8K, references <= 64K) the distance computation is a few MXU matmul tiles —
+microseconds of systolic-array work — while tree traversal is branchy scalar
+code TPUs execute catastrophically badly.  The classic
+||q - r||² = ||q||² + ||r||² - 2 q·r decomposition turns the search into k
+fused matmul->mask->argmin reduction passes (see ``knn``'s docstring for the
+axon-backend constraints that shaped this).
 
 Voxel downsampling is sort-based and exact up to 32-bit hash birthday
 collisions (expected < 0.05 colliding voxel pairs at 20K occupied voxels):
@@ -28,6 +28,8 @@ from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
+
+from .masking import masked_fill, masked_fill_u32
 
 
 def _hash_voxel(ijk: jax.Array) -> jax.Array:
@@ -49,22 +51,24 @@ def voxel_downsample(
     occupied the highest-hash voxels are dropped (deterministic).
     """
     ijk = jnp.floor(points / leaf).astype(jnp.int32)
-    h = jnp.where(valid, _hash_voxel(ijk), jnp.uint32(0xFFFFFFFF))
+    # Arithmetic masking throughout: these arrays reach ~0.5M elements in
+    # submap assembly, above the axon select-degradation threshold (masking.py).
+    h = masked_fill_u32(_hash_voxel(ijk), valid, 0xFFFFFFFF)
     order = jnp.argsort(h)
     hs = h[order]
     ps = points[order]
     vs = valid[order]
     new_group = jnp.concatenate([jnp.array([True]), hs[1:] != hs[:-1]]) & vs
     gid = jnp.cumsum(new_group.astype(jnp.int32)) - 1
-    gid = jnp.where(vs & (gid < cap) & (gid >= 0), gid, cap)
+    gid = masked_fill(gid, vs & (gid < cap) & (gid >= 0), cap)
     sums = jax.ops.segment_sum(
-        jnp.where(vs[:, None], ps, 0.0), gid, num_segments=cap + 1
+        ps * vs[:, None].astype(ps.dtype), gid, num_segments=cap + 1
     )[:cap]
     counts = jax.ops.segment_sum(vs.astype(jnp.float32), gid,
                                  num_segments=cap + 1)[:cap]
     out_valid = counts > 0
     out = sums / jnp.maximum(counts, 1.0)[:, None]
-    return jnp.where(out_valid[:, None], out, 0.0), out_valid
+    return out * out_valid[:, None], out_valid
 
 
 @functools.partial(jax.jit, static_argnames=("cap",))
@@ -75,13 +79,13 @@ def voxel_downsample_with_payload(
     """As ``voxel_downsample`` but also averages a per-point payload (K,) or
     (K, D) over each voxel (used to carry ring ids / timestamps through)."""
     ijk = jnp.floor(points / leaf).astype(jnp.int32)
-    h = jnp.where(valid, _hash_voxel(ijk), jnp.uint32(0xFFFFFFFF))
+    h = masked_fill_u32(_hash_voxel(ijk), valid, 0xFFFFFFFF)
     order = jnp.argsort(h)
     hs, ps, vs = h[order], points[order], valid[order]
     pay = payload[order]
     new_group = jnp.concatenate([jnp.array([True]), hs[1:] != hs[:-1]]) & vs
     gid = jnp.cumsum(new_group.astype(jnp.int32)) - 1
-    gid = jnp.where(vs & (gid < cap) & (gid >= 0), gid, cap)
+    gid = masked_fill(gid, vs & (gid < cap) & (gid >= 0), cap)
     vf = vs.astype(jnp.float32)
     sums = jax.ops.segment_sum(ps * vf[:, None], gid, num_segments=cap + 1)[:cap]
     pay2 = pay if pay.ndim > 1 else pay[:, None]
@@ -89,8 +93,8 @@ def voxel_downsample_with_payload(
     counts = jax.ops.segment_sum(vf, gid, num_segments=cap + 1)[:cap]
     out_valid = counts > 0
     c = jnp.maximum(counts, 1.0)
-    out = jnp.where(out_valid[:, None], sums / c[:, None], 0.0)
-    outp = jnp.where(out_valid[:, None], psums / c[:, None], 0.0)
+    out = (sums / c[:, None]) * out_valid[:, None]
+    outp = (psums / c[:, None]) * out_valid[:, None]
     if payload.ndim == 1:
         outp = outp[:, 0]
     return out, outp, out_valid
@@ -106,59 +110,61 @@ def knn(
     ref: jax.Array,
     r_valid: jax.Array,
     k: int,
-    q_tile: int = 512,
-    r_tile: int = 8192,
+    q_tile: int = 8192,
+    r_tile: int = 0,
 ) -> Tuple[jax.Array, jax.Array]:
     """k nearest references for each query, by squared Euclidean distance.
 
     query: (Q, 3), ref: (R, 3) with validity masks.  Returns
-    (sq_dists (Q, k), indices (Q, k)); invalid refs never appear (distance BIG),
-    invalid queries get all-BIG rows.  Tiled so peak memory is q_tile*r_tile.
+    (sq_dists (Q, k), indices (Q, k)); invalid refs never appear (they are
+    moved to a far sentinel coordinate), invalid queries get all-BIG rows.
+
+    axon-TPU design (empirically forced, 2026-08): any select / gather /
+    scatter / top_k touching a >=~0.3M-element intermediate costs a flat
+    ~27 ms on this backend (host-fallback-like behavior) and degrades the
+    whole process afterwards, while fused matmul+elementwise+reduction chains
+    run at silicon speed.  So k-NN here is k FUSED PASSES, each recomputing
+    the distance matrix inside a single matmul->mask->argmin kernel and
+    excluding all previous picks by a lexicographic (distance, index)
+    threshold — the (Q, R) matrix is never materialized, no sort/top_k/gather
+    ever sees it, and the total cost is k tiny MXU matmuls.
     """
     q_n, r_n = query.shape[0], ref.shape[0]
-    q_pad = (-q_n) % q_tile
-    r_pad = (-r_n) % r_tile
-    q = jnp.pad(query, ((0, q_pad), (0, 0)))
-    qv = jnp.pad(q_valid, (0, q_pad))
-    r = jnp.pad(ref, ((0, r_pad), (0, 0)))
-    rv = jnp.pad(r_valid, (0, r_pad))
+    ref_m = masked_fill(ref, r_valid[:, None], 1e6)
+    r_sq = jnp.sum(ref_m * ref_m, axis=-1)
+    q_sq = jnp.sum(query * query, axis=-1)
 
-    r_sq = jnp.sum(r * r, axis=-1)
-    n_rt = r.shape[0] // r_tile
-
-    def per_qtile(q_blk, qv_blk):
-        q_sq = jnp.sum(q_blk * q_blk, axis=-1)
-
-        def scan_rt(carry, rt):
-            best_d, best_i = carry
-            r_blk = jax.lax.dynamic_slice_in_dim(r, rt * r_tile, r_tile)
-            rv_blk = jax.lax.dynamic_slice_in_dim(rv, rt * r_tile, r_tile)
-            rsq_blk = jax.lax.dynamic_slice_in_dim(r_sq, rt * r_tile, r_tile)
-            # (q_tile, r_tile) distance tile — one MXU matmul.
+    out_d, out_i = [], []
+    for qs in range(0, q_n, q_tile):
+        qe = min(qs + q_tile, q_n)
+        qb = query[qs:qe]
+        qsq = q_sq[qs:qe]
+        m_prev = jnp.full((qe - qs,), -jnp.inf)
+        ds, is_ = [], []
+        for _ in range(k):
+            # One fused kernel: matmul -> broadcast add -> exclusion mask ->
+            # (arg)min.  d exists only inside the fusion.  The exclusion is a
+            # pure FLOAT compare (d <= last pick's distance): int broadcast
+            # compares at this size hit the axon degradation, float ones are
+            # clean.  Exactly co-distant references collapse to one pick —
+            # harmless for correspondence search (identical constraints) and
+            # essentially impossible for real float point data.
             d = (
-                q_sq[:, None]
-                - 2.0 * jnp.dot(q_blk, r_blk.T, preferred_element_type=jnp.float32)
-                + rsq_blk[None, :]
+                qsq[:, None]
+                - 2.0 * jnp.dot(qb, ref_m.T,
+                                preferred_element_type=jnp.float32)
+                + r_sq[None, :]
             )
-            d = jnp.where(rv_blk[None, :], d, BIG)
-            td, ti = jax.lax.top_k(-d, k)
-            ti = ti + rt * r_tile
-            # Merge running best with tile best.
-            md = jnp.concatenate([best_d, -td], axis=1)
-            mi = jnp.concatenate([best_i, ti], axis=1)
-            nd, sel = jax.lax.top_k(-md, k)
-            ni = jnp.take_along_axis(mi, sel, axis=1)
-            return (-nd, ni), None
-
-        init = (jnp.full((q_tile, k), BIG), jnp.zeros((q_tile, k), jnp.int32))
-        (bd, bi), _ = jax.lax.scan(scan_rt, init, jnp.arange(n_rt))
-        bd = jnp.where(qv_blk[:, None], bd, BIG)
-        return bd, bi
-
-    qb = q.reshape(-1, q_tile, 3)
-    qvb = qv.reshape(-1, q_tile)
-    dists, idxs = jax.lax.map(lambda ab: per_qtile(*ab), (qb, qvb))
-    dists = dists.reshape(-1, k)[:q_n]
-    idxs = idxs.reshape(-1, k)[:q_n]
+            d_eff = d + (d <= m_prev[:, None]) * BIG
+            am = jnp.argmin(d_eff, axis=1).astype(jnp.int32)
+            dv = jnp.min(d_eff, axis=1)
+            ds.append(dv)
+            is_.append(am)
+            m_prev = dv
+        out_d.append(jnp.stack(ds, axis=1))
+        out_i.append(jnp.stack(is_, axis=1))
+    dists = jnp.concatenate(out_d, axis=0) if len(out_d) > 1 else out_d[0]
+    idxs = jnp.concatenate(out_i, axis=0) if len(out_i) > 1 else out_i[0]
+    dists = dists + masked_fill(jnp.zeros_like(dists), q_valid[:, None], BIG)
     dists = jnp.maximum(dists, 0.0)  # clamp matmul-form negatives near zero
     return dists, idxs

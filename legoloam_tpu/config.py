@@ -89,11 +89,12 @@ class SegmentationConfig:
     valid_point_num: int = 5                 # segmentValidPointNum
     valid_line_num: int = 3                  # segmentValidLineNum
     min_cluster_size: int = 30               # imageProjection.cpp:440
-    # Label-propagation sweeps for the connected-component kernel.  The reference
-    # does queue BFS (imageProjection.cpp:370-460); we do iterative min-label
-    # diffusion which converges once the sweep count exceeds the largest cluster
-    # graph diameter measured in alternating row/col moves per sweep.
-    ccl_max_iters: int = 48
+    # Segmented-scan sweeps for the connected-component kernel (capped at 8).
+    # The reference does queue BFS (imageProjection.cpp:370-460); we alternate
+    # full-row/full-column parallel-prefix min-scans — each sweep propagates
+    # labels across entire straight runs, so ``sweeps`` bounds the number of
+    # BENDS in a component's min-label path, not its diameter.
+    ccl_max_iters: int = 6
     # Thinning of non-feature points (imageProjection.cpp:328-339).
     outlier_downsample: int = 5              # keep 1-in-5 columns of big outliers
     ground_downsample: int = 5               # keep 1-in-5 ground columns

@@ -214,6 +214,7 @@ def mapping_step(
     odom_pose: Pose,
     scan_time: jax.Array,
     cfg: MappingConfig,
+    imu_rpy: jax.Array | None = None,
 ) -> Tuple[MapState, Pose, MappingDiag]:
     """One mapping update (the reference's throttled ``run`` body,
     mapOptmization.cpp:1487-1522)."""
@@ -238,6 +239,15 @@ def mapping_step(
     # 4. Scan-to-map LM.
     T, iters, n_c, n_s = scan_to_map(
         guess, c_pts, c_ok, s_pts, s_ok, sub_c, sub_cv, sub_s, sub_sv, cfg)
+
+    # 4b. transformUpdate (mapOptmization.cpp:463-496): blend roll/pitch
+    # toward the IMU attitude with weight imu_blend (0.998/0.002).
+    if imu_rpy is not None:
+        roll, pitch, yaw = se3.mat_to_euler_zyx(T.R)
+        w = cfg.imu_blend
+        roll = (1.0 - w) * roll + w * imu_rpy[0]
+        pitch = (1.0 - w) * pitch + w * imu_rpy[1]
+        T = Pose(se3.euler_zyx_to_mat(roll, pitch, yaw), T.t)
 
     # 5. saveKeyFramesAndFactor gate: moved >= keyframe_dist since last KF
     # (mapOptmization.cpp:1360-1364); the first frame always becomes one.

@@ -49,6 +49,32 @@ def process_scan(
                                      xyz_deskewed=xyz)
 
 
+def process_scan_with_imu(
+    points, valid, ring, cfg: PipelineConfig,
+    imu_integral: deskew_ops.ImuIntegral, scan_start_time,
+):
+    """Frontend + de-skew, also returning the de-skew metadata needed for the
+    IMU-seeded initial guess (updateInitialGuess, featureAssociation.cpp:
+    1639-1664) and the mapping attitude blend."""
+    img = projection.project_scan(points, valid, cfg.sensor, ring=ring)
+    seg = segmentation.segment(img, cfg.sensor, cfg.seg)
+    dsk = deskew_ops.deskew_image(
+        img.xyz, img.rel_time, img.valid, jnp.asarray(scan_start_time),
+        imu_integral, scan_period=cfg.sensor.scan_period)
+    feats = feat_ops.extract_features(img, seg, cfg.sensor, cfg.feat,
+                                      xyz_deskewed=dsk.xyz)
+    return feats, dsk
+
+
+def imu_xi_seed(dsk: deskew_ops.DeskewResult, scan_period: float) -> jax.Array:
+    """Initial-guess twist from IMU: rotation = integrated gyro over the scan,
+    translation = scan-start velocity (sensor frame) x scan period."""
+    R_s = se3.euler_zyx_to_mat(dsk.rpy_start[0], dsk.rpy_start[1],
+                               dsk.rpy_start[2])
+    v_sensor = R_s.T @ dsk.velo_start
+    return jnp.concatenate([dsk.ang_delta, v_sensor * scan_period])
+
+
 class OdometryOutput(NamedTuple):
     pose: Pose
     diag: OdometryDiag
@@ -132,6 +158,7 @@ def slam_scan_step(
     scan_time: jax.Array | float,
     run_mapping: bool,
     run_loop: bool = False,
+    imu_integral: Optional[deskew_ops.ImuIntegral] = None,
 ):
     """One full SLAM step.  ``run_mapping``/``run_loop`` are STATIC host-side
     decisions (the reference's 2-frame feed + 0.3 s mapping throttle and 1 Hz
@@ -141,14 +168,30 @@ def slam_scan_step(
     from . import loopclosure as loop_mod
     from . import mapping as mapping_mod
 
-    odom_state, out = odometry_scan_step(state.odom, points, valid, ring, cfg)
+    imu_rpy_end = None
+    if imu_integral is not None:
+        feats, dsk = process_scan_with_imu(points, valid, ring, cfg,
+                                           imu_integral, scan_time)
+        # Rotation seed from the gyro; translation keeps the constant-velocity
+        # prior (the IMU "velocity" is integration-from-rest deviation only —
+        # the reference seeds translation from it anyway,
+        # featureAssociation.cpp:1657-1663, which is strictly worse).
+        seed = imu_xi_seed(dsk, cfg.sensor.scan_period)
+        xi_seed = jnp.concatenate([seed[:3], state.odom.xi[3:]])
+        odom_state, pose, diag = odom.odometry_step(
+            state.odom, feats, cfg.odom, xi_seed=xi_seed)
+        out = OdometryOutput(pose=pose, diag=diag)
+        imu_rpy_end = dsk.rpy_start + dsk.ang_delta
+    else:
+        odom_state, out = odometry_scan_step(state.odom, points, valid, ring,
+                                             cfg)
     map_state = state.mapping
     loops = state.loops
     if run_mapping:
         map_state, mapped_pose, _mdiag = mapping_mod.mapping_step(
             map_state, odom_state.last_corner, odom_state.last_surf,
             odom_state.last_outlier, out.pose, jnp.asarray(scan_time),
-            cfg.mapping)
+            cfg.mapping, imu_rpy=imu_rpy_end)
     if run_loop and cfg.loop.enabled:
         kf, loops, corrected, ldiag = loop_mod.close_and_correct(
             map_state.kf, loops, cfg.loop, cfg.posegraph)

@@ -189,6 +189,41 @@ def raycast_scan(
     return pts, valid, ring
 
 
+def make_imu(poses: Pose, scan_period: float = 0.1, rate_hz: float = 200.0):
+    """Synthesize IMU samples along a scan-pose trajectory.
+
+    Returns (time (L,), rpy (L, 3), acc (L, 3) specific force in sensor frame,
+    gyro (L, 3) sensor-frame angular rate) at ``rate_hz``, with poses assumed
+    ``scan_period`` apart.  The physics inverts what ``ops/deskew`` integrates:
+    attitude from the pose spline, gyro from finite rotation differences,
+    specific force = Rᵀ(a_world - g_world) with g = (0,0,-9.81).
+    """
+    n = poses.t.shape[0]
+    total = (n - 1) * scan_period
+    L = int(total * rate_hz) + 1
+    ts = jnp.arange(L) / rate_hz
+    seg = jnp.clip((ts / scan_period).astype(jnp.int32), 0, n - 2)
+    frac = ts / scan_period - seg
+    R_t = se3.so3_interp(poses.R[seg], poses.R[seg + 1], frac)
+    from .. import ops
+    roll, pitch, yaw = se3.mat_to_euler_zyx(R_t)
+    rpy = jnp.stack([roll, pitch, yaw], axis=-1)
+    # Gyro: body rate from consecutive interpolated attitudes.
+    dt = 1.0 / rate_hz
+    seg2 = jnp.clip(((ts + dt) / scan_period).astype(jnp.int32), 0, n - 2)
+    frac2 = (ts + dt) / scan_period - seg2
+    R_t2 = se3.so3_interp(poses.R[seg2], poses.R[seg2 + 1], frac2)
+    gyro = se3.so3_log(jnp.swapaxes(R_t, -1, -2) @ R_t2) / dt
+    # World acceleration from the position spline (piecewise-linear → zero
+    # within segments, impulses at knots; smooth with a centered difference).
+    pos = poses.t[seg] + frac[:, None] * (poses.t[seg + 1] - poses.t[seg])
+    vel = jnp.gradient(pos, dt, axis=0)
+    acc_w = jnp.gradient(vel, dt, axis=0)
+    g = jnp.array([0.0, 0.0, -9.81])
+    f_body = jnp.einsum("lji,lj->li", R_t, acc_w - g)  # Rᵀ(a - g)
+    return ts, rpy, f_body, gyro
+
+
 def circle_trajectory(n_scans: int, radius: float = 8.0, height: float = 0.8,
                       angular_rate: float = 0.02) -> Pose:
     """Batch of poses driving a circle (yaw tangent to the path)."""

@@ -182,8 +182,12 @@ class MappingConfig:
     # Dense capacities.  Keyframes store the downsampled current scan, so the
     # per-keyframe cloud caps ARE the scan caps.
     max_keyframes: int = 4096
-    submap_corner_cap: int = 16384             # downsampled submap sizes fed to LM
-    submap_surf_cap: int = 65536
+    # Submap caps: sized to hold a 50 m-radius submap at the 0.2/0.4 m leaf
+    # sizes with margin; the 5-NN cost in the scan-to-map LM scales linearly
+    # with these, so they are deliberately tight (measured: a 50 m courtyard
+    # submap occupies ~15-20K surf voxels).
+    submap_corner_cap: int = 8192              # downsampled submap sizes fed to LM
+    submap_surf_cap: int = 32768
     scan_corner_cap: int = 2048                # downsampled current-scan sizes
     scan_surf_cap: int = 8192
     voxel_table_size: int = 1 << 17            # hash-table slots for voxel filters

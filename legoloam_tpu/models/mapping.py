@@ -100,7 +100,7 @@ def extract_submap(kf: KeyframeStore, center: jax.Array, cfg: MappingConfig):
     kf_ok = jnp.arange(m) < kf.count
     d2 = jnp.sum((kf.t - center[None, :]) ** 2, axis=-1)
     d2 = jnp.where(kf_ok, d2, jnp.inf)
-    sel_score, sel = jax.lax.top_k(-d2, _SUBMAP_KF)
+    sel_score, sel = jax.lax.top_k(-d2, min(_SUBMAP_KF, m))
     sel_ok = (-sel_score) <= cfg.search_radius ** 2
 
     def gather(cloud, valid):

@@ -1,0 +1,105 @@
+"""Sharded keyframe map: submap assembly over a device mesh.
+
+BASELINE.json config 5: "keyframes/map blocks sharded on v5e-16".  The
+keyframe axis of the ``KeyframeStore`` shards across the mesh; submap assembly
+becomes:
+
+  1. each device measures distances for ITS keyframe shard and selects its
+     nearest in-radius keyframes (local top-S/n);
+  2. each device gathers + world-transforms its selected clouds and runs a
+     LOCAL exact voxel downsample to submap_cap/n points;
+  3. one ``all_gather`` over ICI replicates the per-shard submaps; the caller
+     concatenates (duplicate voxels across shards are impossible — each
+     keyframe lives on exactly one shard; voxels co-populated by keyframes on
+     different shards simply contribute one centroid per shard, the same
+     behavior as the reference's per-keyframe cloud concatenation before its
+     final downsample, mapOptmization.cpp:1057-1064).
+
+This is the memory-scaling axis: each host holds M/n keyframes' clouds, so the
+20K-keyframe Stevens-scale map fits a v5e-16 with room to spare.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import MappingConfig
+from ..models.mapping import KeyframeStore
+from ..ops.voxel import voxel_downsample
+
+
+def shard_keyframes(kf: KeyframeStore, mesh: Mesh, axis: str = "data"
+                    ) -> KeyframeStore:
+    """Place the keyframe-axis arrays sharded over the mesh (count replicated)."""
+    sharded = NamedSharding(mesh, P(axis))
+    rep = NamedSharding(mesh, P())
+
+    def put(x, name):
+        if name == "count":
+            return jax.device_put(x, rep)
+        return jax.device_put(x, sharded)
+
+    return KeyframeStore(**{
+        name: put(getattr(kf, name), name) for name in kf._fields
+    })
+
+
+def extract_submap_sharded(
+    kf: KeyframeStore, center: jax.Array, cfg: MappingConfig,
+    mesh: Mesh, axis: str = "data", submap_kf: int = 64,
+):
+    """Distributed ``mapping.extract_submap``: per-shard select + downsample,
+    then all_gather.  Returns ((corner (C, 3), valid), (surf (S, 3), valid))
+    replicated, where C/S are the configured submap caps."""
+    n_dev = mesh.shape[axis]
+    m = kf.t.shape[0]
+    assert m % n_dev == 0, "max_keyframes must divide the mesh"
+    local_sel = max(1, min(submap_kf // n_dev, m // n_dev))
+    c_cap = cfg.submap_corner_cap // n_dev
+    s_cap = cfg.submap_surf_cap // n_dev
+
+    kspec = P(axis)
+    rspec = P()
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(kspec, kspec, kspec, kspec, kspec, kspec, rspec, rspec),
+        out_specs=(rspec, rspec, rspec, rspec),
+        check_vma=False,
+    )
+    def solve(t, R, corner, corner_valid, surf, surf_valid, count, ctr):
+        shard = jax.lax.axis_index(axis)
+        m_loc = t.shape[0]
+        # Global index of each local row: shard*m_loc + i  < count -> real.
+        gidx = shard * m_loc + jnp.arange(m_loc)
+        ok = gidx < count
+        d2 = jnp.sum((t - ctr[None]) ** 2, axis=-1)
+        d2 = jnp.where(ok, d2, jnp.inf)
+        sel_score, sel = jax.lax.top_k(-d2, local_sel)
+        sel_ok = (-sel_score) <= cfg.search_radius ** 2
+
+        def gather(cloud, valid, cap, leaf):
+            pts = cloud[sel]
+            v = valid[sel] & sel_ok[:, None]
+            world = jnp.einsum("sij,scj->sci", R[sel], pts) + t[sel][:, None]
+            return voxel_downsample(world.reshape(-1, 3), v.reshape(-1),
+                                    leaf, cap)
+
+        sub_c, sub_cv = gather(corner, corner_valid, c_cap, cfg.corner_leaf)
+        sub_s, sub_sv = gather(surf, surf_valid, s_cap, cfg.surf_leaf)
+        # Replicate via all_gather over the mesh axis.
+        return (
+            jax.lax.all_gather(sub_c, axis).reshape(-1, 3),
+            jax.lax.all_gather(sub_cv, axis).reshape(-1),
+            jax.lax.all_gather(sub_s, axis).reshape(-1, 3),
+            jax.lax.all_gather(sub_sv, axis).reshape(-1),
+        )
+
+    c, cv, s, sv = solve(kf.t, kf.R, kf.corner, kf.corner_valid,
+                         kf.surf, kf.surf_valid, kf.count, center)
+    return (c, cv), (s, sv)

@@ -90,3 +90,51 @@ def test_dp_frontend_matches_single_scan():
                                np.asarray(single.sharp.xyz), atol=1e-5)
     np.testing.assert_array_equal(np.asarray(feats.less_flat.valid[3]),
                                   np.asarray(single.less_flat.valid))
+
+
+def test_sharded_submap_matches_single_device():
+    """Per-shard submap assembly + all_gather must cover the same region as
+    the single-device path (same keyframes selected, same voxel centroids up
+    to per-shard voxel splits)."""
+    import dataclasses
+
+    from legoloam_tpu.models import mapping
+    from legoloam_tpu.parallel import mapping_dist
+
+    # Small clouds so the voxel census fits well under the submap caps —
+    # with overflowing caps both paths drop different (hash-ordered) voxels
+    # and coverage comparison is meaningless.
+    cfg = dataclasses.replace(
+        DEFAULT.mapping, max_keyframes=32, scan_corner_cap=64,
+        scan_surf_cap=256, submap_corner_cap=4096, submap_surf_cap=16384)
+    st = mapping.init_state(cfg)
+    kf = st.kf
+    key = jax.random.PRNGKey(0)
+    n_kf = 10
+    for k in range(n_kf):
+        pts = jax.random.uniform(jax.random.fold_in(key, k),
+                                 (cfg.scan_surf_cap, 3)) * 10
+        kf = kf._replace(
+            t=kf.t.at[k].set(jnp.array([2.0 * k, 0.0, 0.0])),
+            surf=kf.surf.at[k].set(pts),
+            surf_valid=kf.surf_valid.at[k].set(True),
+            corner=kf.corner.at[k].set(pts[: cfg.scan_corner_cap]),
+            corner_valid=kf.corner_valid.at[k].set(True),
+            count=jnp.int32(k + 1),
+        )
+    center = jnp.array([6.0, 0.0, 0.0])
+
+    (sc1, scv1), (ss1, ssv1) = mapping.extract_submap(kf, center, cfg)
+    m = mesh_mod.make_mesh(8)
+    (sc8, scv8), (ss8, ssv8) = mapping_dist.extract_submap_sharded(
+        kf, center, cfg, m)
+
+    # Same spatial coverage: voxel-key sets agree.
+    def keys(pts, val, leaf=0.2):
+        p = np.asarray(pts)[np.asarray(val)]
+        return set(map(tuple, np.floor(p / leaf).astype(int).tolist()))
+
+    k1 = keys(ss1, ssv1)
+    k8 = keys(ss8, ssv8)
+    inter = len(k1 & k8) / max(len(k1 | k8), 1)
+    assert inter > 0.95, f"submap voxel overlap only {inter:.2f}"

@@ -35,14 +35,29 @@ from ..ops.voxel import voxel_downsample
 
 def shard_keyframes(kf: KeyframeStore, mesh: Mesh, axis: str = "data"
                     ) -> KeyframeStore:
-    """Place the keyframe-axis arrays sharded over the mesh (count replicated)."""
+    """Place the keyframe-axis arrays sharded over the mesh, CYCLICALLY.
+
+    Keyframe k lives on shard k % n_dev (local slot k // n_dev).  Cyclic
+    assignment matters: keyframes are trajectory-ordered, so a radius submap
+    selects a CONTIGUOUS index run — block sharding would put the whole
+    submap on one or two shards and their per-shard caps would truncate it
+    (found by end-to-end verification).  Cyclic spreads any contiguous run
+    evenly over all shards.
+    """
+    n_dev = mesh.shape[axis]
+    m = kf.t.shape[0]
+    m_loc = m // n_dev
+    # Physical row p (on shard p // m_loc, local slot p % m_loc) holds
+    # keyframe (p % m_loc) * n_dev + p // m_loc.
+    p_idx = jnp.arange(m)
+    perm = (p_idx % m_loc) * n_dev + p_idx // m_loc
     sharded = NamedSharding(mesh, P(axis))
     rep = NamedSharding(mesh, P())
 
     def put(x, name):
         if name == "count":
             return jax.device_put(x, rep)
-        return jax.device_put(x, sharded)
+        return jax.device_put(x[perm], sharded)
 
     return KeyframeStore(**{
         name: put(getattr(kf, name), name) for name in kf._fields
@@ -75,8 +90,9 @@ def extract_submap_sharded(
     def solve(t, R, corner, corner_valid, surf, surf_valid, count, ctr):
         shard = jax.lax.axis_index(axis)
         m_loc = t.shape[0]
-        # Global index of each local row: shard*m_loc + i  < count -> real.
-        gidx = shard * m_loc + jnp.arange(m_loc)
+        # Cyclic layout (see shard_keyframes): local slot i holds keyframe
+        # i * n_dev + shard.
+        gidx = jnp.arange(m_loc) * n_dev + shard
         ok = gidx < count
         d2 = jnp.sum((t - ctr[None]) ** 2, axis=-1)
         d2 = jnp.where(ok, d2, jnp.inf)

@@ -126,8 +126,9 @@ def test_sharded_submap_matches_single_device():
 
     (sc1, scv1), (ss1, ssv1) = mapping.extract_submap(kf, center, cfg)
     m = mesh_mod.make_mesh(8)
+    kf_sharded = mapping_dist.shard_keyframes(kf, m)  # cyclic layout required
     (sc8, scv8), (ss8, ssv8) = mapping_dist.extract_submap_sharded(
-        kf, center, cfg, m)
+        kf_sharded, center, cfg, m)
 
     # Same spatial coverage: voxel-key sets agree.
     def keys(pts, val, leaf=0.2):

@@ -95,6 +95,9 @@ class SegmentationConfig:
     # labels across entire straight runs, so ``sweeps`` bounds the number of
     # BENDS in a component's min-label path, not its diameter.
     ccl_max_iters: int = 6
+    # CCL implementation: "auto" = VMEM-resident Pallas kernel on TPU, XLA
+    # segmented scans elsewhere; "pallas" / "xla" force one.
+    ccl_backend: str = "auto"
     # Thinning of non-feature points (imageProjection.cpp:328-339).
     outlier_downsample: int = 5              # keep 1-in-5 columns of big outliers
     ground_downsample: int = 5               # keep 1-in-5 ground columns

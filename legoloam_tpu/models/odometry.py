@@ -38,7 +38,7 @@ from ..config import OdometryConfig
 from ..ops import lm, se3
 from ..ops.features import FeatureCloud, ScanFeatures
 from ..ops.se3 import Pose
-from ..ops.voxel import knn
+from ..ops.voxel import class_nn, knn
 
 _SURF_DOF = jnp.array([0, 1, 5])    # twist components [wx(roll), wy(pitch), vz]
 _CORNER_DOF = jnp.array([2, 3, 4])  # [wz(yaw), vx, vy]
@@ -104,27 +104,30 @@ def _find_surf_corr(p_warped, q_valid, last: FeatureCloud,
                     cfg: OdometryConfig) -> _Corr:
     """Reference findCorrespondingSurfFeatures (featureAssociation.cpp:1155-1232):
     j = NN; l = nearest same-or-lower ring; m = nearest strictly-higher ring;
-    plane through (j, l, m)."""
-    K = 10
-    d, i = knn(p_warped, q_valid, last.xyz, last.valid, k=K,
-               q_tile=256, r_tile=4096)
+    plane through (j, l, m).  Each is one fused matmul->penalty->argmin pass
+    over the full reference cloud (nearest-in-ring-class, exactly the
+    reference's windowed search — not a filter over k candidates)."""
+    Q = p_warped.shape[0]
     gate = cfg.nearest_sq_dist
-    j_ok = q_valid & (d[:, 0] < gate)
-    ring_j = last.ring[i[:, 0]]
-    rings = last.ring[i]                      # (F, K)
-    cand = (d < gate)
-    cand = cand.at[:, 0].set(False)           # exclude j itself
-    cand = cand & (jnp.abs(rings - ring_j[:, None]) <= cfg.ring_window)
-    low = cand & (rings <= ring_j[:, None])
-    high = cand & (rings > ring_j[:, None])
-    big = jnp.float32(1e30)
-    l_sel = jnp.argmin(jnp.where(low, d, big), axis=1)
-    m_sel = jnp.argmin(jnp.where(high, d, big), axis=1)
-    l_ok = jnp.take_along_axis(low, l_sel[:, None], 1)[:, 0]
-    m_ok = jnp.take_along_axis(high, m_sel[:, None], 1)[:, 0]
-    t1 = last.xyz[i[:, 0]]
-    t2 = last.xyz[jnp.take_along_axis(i, l_sel[:, None], 1)[:, 0]]
-    t3 = last.xyz[jnp.take_along_axis(i, m_sel[:, None], 1)[:, 0]]
+    ninf = jnp.full((1, Q), -jnp.inf)
+    # Pass 1: unconstrained NN.
+    d0, i0 = class_nn(p_warped, last.xyz, last.valid, last.ring,
+                      ninf, -ninf, ninf, q_tile=512)
+    j_ok = q_valid & (d0[0] < gate)
+    ring_j = last.ring[i0[0]][None, :]        # (1, Q)
+    # Passes 2+3: nearest in [ring_j-w, ring_j] excluding j (same ring class
+    # contains j; a strict-distance exclusion removes it), and in
+    # (ring_j, ring_j+w] (j not in class, no exclusion needed).
+    lo = jnp.concatenate([ring_j - cfg.ring_window, ring_j + 0.5])
+    hi = jnp.concatenate([ring_j, ring_j + cfg.ring_window])
+    ex = jnp.concatenate([d0, ninf])
+    d2, i2 = class_nn(p_warped, last.xyz, last.valid, last.ring,
+                      lo, hi, ex, q_tile=512, n_classes=2)
+    l_ok = d2[0] < gate
+    m_ok = d2[1] < gate
+    t1 = last.xyz[i0[0]]
+    t2 = last.xyz[i2[0]]
+    t3 = last.xyz[i2[1]]
     n, _ = lm.point_to_plane(p_warped, t1, t2, t3)
     off = -jnp.sum(n * t1, axis=-1)
     return _Corr(n=n, off=off, t1=t1, t2=t3, valid=j_ok & l_ok & m_ok)
@@ -135,23 +138,27 @@ def _find_corner_corr(p_warped, q_valid, last: FeatureCloud,
     """Reference findCorrespondingCornerFeatures (featureAssociation.cpp:
     1044-1121): j = NN; m = nearest point on a DIFFERENT ring within ±2.5;
     line through (j, m)."""
-    K = 10
-    d, i = knn(p_warped, q_valid, last.xyz, last.valid, k=K,
-               q_tile=128, r_tile=2048)
+    Q = p_warped.shape[0]
     gate = cfg.nearest_sq_dist
-    j_ok = q_valid & (d[:, 0] < gate)
-    ring_j = last.ring[i[:, 0]]
-    rings = last.ring[i]
-    cand = (d < gate)
-    cand = cand.at[:, 0].set(False)
-    cand = cand & (jnp.abs(rings - ring_j[:, None]) <= cfg.ring_window)
-    cand = cand & (jnp.abs(rings - ring_j[:, None]) > 0.5)  # different ring
-    big = jnp.float32(1e30)
-    m_sel = jnp.argmin(jnp.where(cand, d, big), axis=1)
-    m_ok = jnp.take_along_axis(cand, m_sel[:, None], 1)[:, 0]
-    t1 = last.xyz[i[:, 0]]
-    t2 = last.xyz[jnp.take_along_axis(i, m_sel[:, None], 1)[:, 0]]
-    return _Corr(n=jnp.zeros_like(t1), off=jnp.zeros(t1.shape[0]),
+    ninf = jnp.full((1, Q), -jnp.inf)
+    d0, i0 = class_nn(p_warped, last.xyz, last.valid, last.ring,
+                      ninf, -ninf, ninf, q_tile=512)
+    j_ok = q_valid & (d0[0] < gate)
+    ring_j = last.ring[i0[0]][None, :]
+    # Different ring within the window: search BOTH side classes and keep the
+    # closer (the strictly-lower and strictly-higher ring intervals).
+    lo = jnp.concatenate([ring_j - cfg.ring_window, ring_j + 0.5])
+    hi = jnp.concatenate([ring_j - 0.5, ring_j + cfg.ring_window])
+    ex = jnp.full((2, Q), -jnp.inf)
+    d2, i2 = class_nn(p_warped, last.xyz, last.valid, last.ring,
+                      lo, hi, ex, q_tile=512, n_classes=2)
+    pick_low = d2[0] <= d2[1]
+    dm = jnp.where(pick_low, d2[0], d2[1])
+    im = jnp.where(pick_low, i2[0], i2[1])
+    m_ok = dm < gate
+    t1 = last.xyz[i0[0]]
+    t2 = last.xyz[im]
+    return _Corr(n=jnp.zeros_like(t1), off=jnp.zeros(Q),
                  t1=t1, t2=t2, valid=j_ok & m_ok)
 
 

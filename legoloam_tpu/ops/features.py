@@ -57,6 +57,23 @@ class ScanFeatures(NamedTuple):
                                # mapping folds these into the surf map)
 
 
+def _compaction_perm(segmented: jax.Array):
+    """Per-ring stable-partition permutation: segmented cells first (in column
+    order), the rest after.  Equivalent to ``argsort(where(seg, col, col+h))``
+    but built with two cumsums + one scatter instead of a per-row sort."""
+    n, h = segmented.shape
+    cols = jnp.broadcast_to(jnp.arange(h, dtype=jnp.int32), (n, h))
+    count = jnp.sum(segmented, axis=1).astype(jnp.int32)
+    pos_seg = jnp.cumsum(segmented, axis=1, dtype=jnp.int32) - 1
+    pos_rest = jnp.cumsum(~segmented, axis=1, dtype=jnp.int32) - 1 \
+        + count[:, None]
+    target = jnp.where(segmented, pos_seg, pos_rest)       # row-wise bijection
+    rows = jnp.arange(n, dtype=jnp.int32)[:, None] * h
+    perm = jnp.zeros((n * h,), jnp.int32).at[
+        (rows + target).reshape(-1)].set(cols.reshape(-1))
+    return perm.reshape(n, h), count, cols
+
+
 def _compact_rings(img: RangeImage, seg: Segmentation):
     """Per-ring stable compaction of segmented cells into column order.
 
@@ -64,15 +81,11 @@ def _compact_rings(img: RangeImage, seg: Segmentation):
     Position i of ring r holds that ring's i-th segmented point; tail entries
     (i >= count[r]) are invalid.
     """
-    n, h = img.rng.shape
-    cols = jnp.broadcast_to(jnp.arange(h, dtype=jnp.int32), (n, h))
-    key = jnp.where(seg.segmented, cols, cols + h)  # segmented first, col order
-    perm = jnp.argsort(key, axis=1)
+    perm, count, cols = _compaction_perm(seg.segmented)
 
     def g(a):
         return jnp.take_along_axis(a, perm, axis=1)
 
-    count = jnp.sum(seg.segmented, axis=1).astype(jnp.int32)
     return {
         "xyz": jnp.take_along_axis(img.xyz, perm[..., None], axis=1),
         "rng": g(img.rng),
@@ -113,9 +126,7 @@ def extract_features(
     c, count = _compact_rings(img, seg)
     if xyz_deskewed is not None:
         # Re-apply the compaction permutation to the deskewed coordinates.
-        cols = jnp.broadcast_to(jnp.arange(h, dtype=jnp.int32), (n, h))
-        key = jnp.where(seg.segmented, cols, cols + h)
-        perm = jnp.argsort(key, axis=1)
+        perm, _, _ = _compaction_perm(seg.segmented)
         c["xyz"] = jnp.take_along_axis(xyz_deskewed, perm[..., None], axis=1)
 
     idx = jnp.broadcast_to(jnp.arange(h, dtype=jnp.int32), (n, h))
@@ -164,100 +175,89 @@ def extract_features(
     ep = ep.at[:, -1].set(e - 1)  # featureAssociation.cpp:695
     sec_ok = (sp <= ep) & (e[:, None] > s[:, None])  # ring has enough points
 
-    # Lane layout: (n * sections,) flattened ring-section pairs.
-    lanes_ring = jnp.repeat(jnp.arange(n, dtype=jnp.int32), cfg.sections)
+    # Lane layout: (n * sections,) flattened ring-section pairs.  Everything
+    # below is DENSE (one-hot compares + shifts, no scatter/gather): on the
+    # axon backend scatters cost orders of magnitude more than elementwise
+    # passes over these (96, H)/(16, H) grids.
     sec_lo = sp.reshape(-1)
     sec_hi = ep.reshape(-1)
     lane_ok = sec_ok.reshape(-1)
     n_lanes = n * cfg.sections
 
-    # Per-index section membership mask per lane would be (96, H); build the
-    # candidate value per lane on the fly from the global (n, h) grids.
     gap = jnp.abs(col_r - c["col"]) > cfg.occlusion_col_gap  # between i and i+1
-    flat_idx = idx + jnp.arange(n, dtype=jnp.int32)[:, None] * h
 
     SENT = jnp.float32(1e30)  # finite sentinel (arithmetic masking; masking.py)
+    pos = jnp.broadcast_to(jnp.arange(h), (n_lanes, h))
+    in_sec = (pos >= sec_lo[:, None]) & (pos <= sec_hi[:, None]) \
+        & lane_ok[:, None]
 
-    def lane_values(mask_grid, values_grid, sign):
-        """(n_lanes, h) candidate values restricted to each lane's span."""
+    def lane_pick(mask_grid, values_grid, sign):
+        """One greedy trip over all 96 ring-section lanes at once: the best
+        remaining candidate per lane, as a dense (n, h) one-hot grid."""
         fill = -SENT if sign > 0 else SENT
         v = masked_fill(values_grid, mask_grid, fill)
-        v = jnp.repeat(v, cfg.sections, axis=0)  # (n_lanes, h)
-        pos = jnp.broadcast_to(jnp.arange(h), (n_lanes, h))
-        in_sec = (pos >= sec_lo[:, None]) & (pos <= sec_hi[:, None]) \
-            & lane_ok[:, None]
-        return masked_fill(v, in_sec, fill)
+        v = masked_fill(jnp.repeat(v, cfg.sections, axis=0), in_sec, fill)
+        if sign > 0:
+            pick = jnp.argmax(v, axis=1).astype(jnp.int32)
+            ok = jnp.max(v, axis=1) > -1e29
+        else:
+            pick = jnp.argmin(v, axis=1).astype(jnp.int32)
+            ok = jnp.min(v, axis=1) < 1e29
+        onehot = in_sec & (pos == pick[:, None]) & ok[:, None]  # (n_lanes, h)
+        return jnp.any(onehot.reshape(n, cfg.sections, h), axis=1)  # (n, h)
 
-    def suppress(picked_flat, lane_pick_idx, lane_valid):
-        """Scatter the reference's +-5 suppression window for each lane's pick,
-        stopping at >10-column gaps (featureAssociation.cpp:721-732)."""
-        base = lanes_ring * h + lane_pick_idx
-        picked_flat = picked_flat.at[jnp.where(lane_valid, base, n * h)].set(
-            True, mode="drop")
-        gap_flat = gap.reshape(-1)
-        chain_r = lane_valid
-        chain_l = lane_valid
-        for l in range(1, 6):
-            # right: stop if gap between (ind+l-1, ind+l)
-            chain_r = chain_r & ~gap_flat[jnp.clip(base + l - 1, 0, n * h - 1)]
-            tgt = jnp.where(chain_r & (lane_pick_idx + l < h), base + l, n * h)
-            picked_flat = picked_flat.at[tgt].set(True, mode="drop")
-            chain_l = chain_l & ~gap_flat[jnp.clip(base - l, 0, n * h - 1)]
-            tgt = jnp.where(chain_l & (lane_pick_idx - l >= 0), base - l, n * h)
-            picked_flat = picked_flat.at[tgt].set(True, mode="drop")
-        return picked_flat
+    def suppress(picked_grid, pick_grid):
+        """The reference's +-5 suppression window around each pick, stopping at
+        >10-column gaps (featureAssociation.cpp:721-732) — as 10 shifted ANDs."""
+        picked_grid = picked_grid | pick_grid
+        chain_r = pick_grid
+        chain_l = pick_grid
+        for _ in range(5):
+            # right: cell j+1 suppressed if j reached and no gap between j, j+1
+            chain_r = _shift(chain_r & ~gap, -1, False)
+            # left: cell j-1 suppressed if j reached and no gap between j-1, j
+            chain_l = _shift(chain_l, 1, False) & ~gap
+            picked_grid = picked_grid | chain_r | chain_l
+        return picked_grid
 
-    picked_flat = picked.reshape(-1)
-    label = jnp.zeros(n * h, jnp.int8)  # 2 sharp, 1 less-sharp, -1 flat
+    picked_grid = picked
+    label = jnp.zeros((n, h), jnp.int8)  # 2 sharp, 1 less-sharp, -1 flat
 
     # Edge picks: descending curvature, non-ground, curvature > edgeThreshold.
+    edge_ok = curv_ok & ~c["ground"] & (curvature > cfg.edge_threshold)
     for t in range(cfg.edge_less_per_section):
-        mask = (
-            curv_ok & ~picked_flat.reshape(n, h) & ~c["ground"]
-            & (curvature > cfg.edge_threshold)
-        )
-        vals = lane_values(mask, curvature, sign=+1)
-        pick = jnp.argmax(vals, axis=1).astype(jnp.int32)
-        pick_val = jnp.take_along_axis(vals, pick[:, None], axis=1)[:, 0]
-        ok = pick_val > -1e29
+        pick_grid = lane_pick(edge_ok & ~picked_grid, curvature, sign=+1)
         lab = jnp.int8(2) if t < cfg.edge_per_section else jnp.int8(1)
-        base = lanes_ring * h + pick
-        label = label.at[jnp.where(ok, base, n * h)].set(lab, mode="drop")
-        picked_flat = suppress(picked_flat, pick, ok)
+        label = jnp.where(pick_grid, lab, label)
+        picked_grid = suppress(picked_grid, pick_grid)
 
     # Planar picks: ascending curvature, GROUND ONLY, curvature < surfThreshold
     # (featureAssociation.cpp:736-749).
+    surf_ok = curv_ok & c["ground"] & (curvature < cfg.surf_threshold)
     for t in range(cfg.surf_per_section):
-        mask = (
-            curv_ok & ~picked_flat.reshape(n, h) & c["ground"]
-            & (curvature < cfg.surf_threshold)
-        )
-        vals = lane_values(mask, curvature, sign=-1)
-        pick = jnp.argmin(vals, axis=1).astype(jnp.int32)
-        pick_val = jnp.take_along_axis(vals, pick[:, None], axis=1)[:, 0]
-        ok = pick_val < 1e29
-        base = lanes_ring * h + pick
-        label = label.at[jnp.where(ok, base, n * h)].set(jnp.int8(-1),
-                                                         mode="drop")
-        picked_flat = suppress(picked_flat, pick, ok)
-
-    label = label[: n * h].reshape(n, h)
+        pick_grid = lane_pick(surf_ok & ~picked_grid, curvature, sign=-1)
+        label = jnp.where(pick_grid, jnp.int8(-1), label)
+        picked_grid = suppress(picked_grid, pick_grid)
 
     ring_f = jnp.broadcast_to(
         jnp.arange(n, dtype=jnp.float32)[:, None], (n, h))
 
-    def gather_cloud(mask, cap):
-        """Compact a dense (n, h) mask into a fixed-cap FeatureCloud."""
+    def compact(mask, cap, xyz, ring, rel):
+        """Index-order compaction of a dense mask into fixed-cap arrays via
+        cumsum + one-winner scatters (no sort; overflow beyond cap dropped)."""
         mflat = mask.reshape(-1)
-        order = jnp.argsort(~mflat)  # True first, stable
-        take = order[:cap]
-        ok = mflat[take]
-        return FeatureCloud(
-            xyz=jnp.where(ok[:, None], c["xyz"].reshape(-1, 3)[take], 0.0),
-            ring=jnp.where(ok, ring_f.reshape(-1)[take], 0.0),
-            rel_time=jnp.where(ok, c["rel"].reshape(-1)[take], 0.0),
-            valid=ok,
-        )
+        slot = jnp.cumsum(mflat, dtype=jnp.int32) - 1
+        tgt = jnp.where(mflat & (slot < cap), slot, cap)
+        out_xyz = jnp.zeros((cap + 1, 3)).at[tgt].set(xyz.reshape(-1, 3))[:cap]
+        out_ring = jnp.zeros((cap + 1,)).at[tgt].set(ring.reshape(-1))[:cap]
+        out_rel = jnp.zeros((cap + 1,)).at[tgt].set(rel.reshape(-1))[:cap]
+        out_ok = jnp.zeros((cap + 1,), bool).at[tgt].set(mflat)[:cap]
+        z = out_ok.astype(jnp.float32)
+        return FeatureCloud(xyz=out_xyz * z[:, None], ring=out_ring * z,
+                            rel_time=out_rel * z, valid=out_ok)
+
+    def gather_cloud(mask, cap):
+        return compact(mask, cap, c["xyz"], ring_f, c["rel"])
 
     sharp = gather_cloud(label == 2, cfg.max_sharp)
     less_sharp = gather_cloud(label >= 1, cfg.max_less_sharp)
@@ -276,16 +276,8 @@ def extract_features(
     # Outlier cloud (imageProjection.cpp:328-335): gathered straight from the
     # DENSE image (these cells are not part of the ring compaction).
     xyz_src = img.xyz if xyz_deskewed is None else xyz_deskewed
-    out_flat = seg.outlier.reshape(-1)
-    order = jnp.argsort(~out_flat)
-    take = order[: cfg.max_outlier]
-    ok = out_flat[take]
-    outlier = FeatureCloud(
-        xyz=jnp.where(ok[:, None], xyz_src.reshape(-1, 3)[take], 0.0),
-        ring=jnp.where(ok, ring_f.reshape(-1)[take], 0.0),
-        rel_time=jnp.where(ok, img.rel_time.reshape(-1)[take], 0.0),
-        valid=ok,
-    )
+    outlier = compact(seg.outlier, cfg.max_outlier, xyz_src, ring_f,
+                      img.rel_time)
 
     return ScanFeatures(sharp=sharp, less_sharp=less_sharp, flat=flat,
                         less_flat=less_flat, outlier=outlier)

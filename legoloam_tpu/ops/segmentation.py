@@ -185,28 +185,35 @@ def segment(img: RangeImage, sensor: SensorConfig,
 
     seeds = img.valid & ~ground
     conn_h, conn_v = _connectivity(img, sensor, cfg)
-    labels = _label_propagation(seeds, conn_h, conn_v, cfg.ccl_max_iters)
+    use_pallas = cfg.ccl_backend == "pallas" or (
+        cfg.ccl_backend == "auto" and jax.default_backend() not in ("cpu",))
+    if use_pallas:
+        from .ccl_pallas import label_propagation_pallas
+        labels = label_propagation_pallas(seeds, conn_h, conn_v,
+                                          cfg.ccl_max_iters)
+    else:
+        labels = _label_propagation(seeds, conn_h, conn_v, cfg.ccl_max_iters)
     flat_labels = labels.reshape(-1)
 
     # Cluster validity (imageProjection.cpp:440-451): size >= 30, or size >=
-    # valid_point_num spanning >= valid_line_num rings.
-    ones = seeds.reshape(-1).astype(jnp.int32)
+    # valid_point_num spanning >= valid_line_num rings.  4-connectivity only
+    # links vertically ADJACENT rings, so every connected component (and every
+    # label class the propagation produces — each is a connected subset)
+    # occupies a CONTIGUOUS ring interval; the reference's distinct-ring count
+    # (lineCountFlag, imageProjection.cpp:436-446) therefore equals
+    # max_ring - min_ring + 1 — two small segment reductions instead of a
+    # (n_cells x n_scan) one-hot scatter.
+    seeds_flat = seeds.reshape(-1)
+    ones = seeds_flat.astype(jnp.int32)
     sizes = jax.ops.segment_sum(ones, flat_labels, num_segments=n_cells + 1)
     ring_of = (jnp.arange(n_cells, dtype=jnp.int32) // h)
-    # Distinct-ring count per label: scatter-max a one-hot of the ring.
-    ring_key = flat_labels * sensor.n_scan + ring_of
-    ring_hit = jax.ops.segment_max(
-        jnp.where(seeds.reshape(-1), 1, 0),
-        jnp.where(seeds.reshape(-1), ring_key, n_cells * sensor.n_scan),
-        num_segments=n_cells * sensor.n_scan + 1,
-    )
-    # segment_max fills empty segments with INT_MIN — clamp before summing.
-    ring_span = jnp.sum(
-        jnp.maximum(
-            ring_hit[: n_cells * sensor.n_scan].reshape(n_cells, sensor.n_scan), 0
-        ),
-        axis=1,
-    )
+    rmin = jax.ops.segment_min(
+        jnp.where(seeds_flat, ring_of, n), flat_labels,
+        num_segments=n_cells + 1)
+    rmax = jax.ops.segment_max(
+        jnp.where(seeds_flat, ring_of, -1), flat_labels,
+        num_segments=n_cells + 1)
+    ring_span = (rmax[:n_cells] - rmin[:n_cells] + 1)
     valid_cluster = (sizes[:n_cells] >= cfg.min_cluster_size) | (
         (sizes[:n_cells] >= cfg.valid_point_num)
         & (ring_span >= cfg.valid_line_num)

@@ -103,6 +103,66 @@ def voxel_downsample_with_payload(
 BIG = jnp.float32(1e30)
 
 
+@functools.partial(jax.jit, static_argnames=("q_tile", "n_classes"))
+def class_nn(
+    query: jax.Array,
+    ref: jax.Array,
+    r_valid: jax.Array,
+    ref_key: jax.Array,
+    key_lo: jax.Array,
+    key_hi: jax.Array,
+    excl_le: jax.Array,
+    q_tile: int = 512,
+    n_classes: int = 1,
+) -> Tuple[jax.Array, jax.Array]:
+    """Per-query nearest reference within a KEY CLASS, one fused pass each.
+
+    For class c, query q: the nearest ref r with
+    ``key_lo[c, q] <= ref_key[r] <= key_hi[c, q]`` and squared distance
+    strictly greater than ``excl_le[c, q]`` (pass -inf to disable the
+    exclusion; pass the previous pass's distance to exclude earlier picks).
+
+    This is the TPU-native form of the reference's ring-windowed secondary
+    correspondence searches (featureAssociation.cpp:1170-1221): instead of
+    k-NN then filtering k candidates, each class is ONE matmul->penalty->
+    argmin fusion over the full reference cloud — fewer passes and exactly
+    the reference's nearest-in-class semantics.
+
+    query (Q, 3); ref (R, 3); ref_key (R,) float; key_lo/key_hi/excl_le
+    (n_classes, Q).  Returns (sq_dists (n_classes, Q), indices (n_classes, Q)).
+    """
+    q_n = query.shape[0]
+    ref_m = masked_fill(ref, r_valid[:, None], 1e6)
+    r_sq = jnp.sum(ref_m * ref_m, axis=-1)
+    q_sq = jnp.sum(query * query, axis=-1)
+
+    out_d, out_i = [], []
+    for qs in range(0, q_n, q_tile):
+        qe = min(qs + q_tile, q_n)
+        qb, qsq = query[qs:qe], q_sq[qs:qe]
+        ds, is_ = [], []
+        for c in range(n_classes):
+            lo = key_lo[c, qs:qe, None]
+            hi = key_hi[c, qs:qe, None]
+            ex = excl_le[c, qs:qe, None]
+            d = (
+                qsq[:, None]
+                - 2.0 * jnp.dot(qb, ref_m.T,
+                                preferred_element_type=jnp.float32)
+                + r_sq[None, :]
+            )
+            pen = ((ref_key[None, :] < lo) | (ref_key[None, :] > hi)
+                   | (d <= ex)) * BIG
+            d_eff = d + pen
+            is_.append(jnp.argmin(d_eff, axis=1).astype(jnp.int32))
+            ds.append(jnp.min(d_eff, axis=1))
+        out_d.append(jnp.stack(ds))
+        out_i.append(jnp.stack(is_))
+    dists = jnp.concatenate(out_d, axis=1) if len(out_d) > 1 else out_d[0]
+    idxs = jnp.concatenate(out_i, axis=1) if len(out_i) > 1 else out_i[0]
+    return jnp.maximum(dists, 0.0), idxs
+
+
 @functools.partial(jax.jit, static_argnames=("k", "q_tile", "r_tile"))
 def knn(
     query: jax.Array,

@@ -83,16 +83,25 @@ def main():
 
             scans_per_step = 1
 
+    import numpy as np
+
+    def sync(st):
+        """Real device barrier.  jax.block_until_ready is a NO-OP on the
+        axon TPU backend (verified 2026-08-18: a multi-second program
+        "blocks" in ~1 ms); fetching a value to the host is the only
+        reliable way to wait, so timings bracket with a scalar fetch."""
+        np.asarray(jax.tree.leaves(st)[0]).ravel()[:1]
+
     # Warmup: compile every step variant + settle the solver.
     for k in range(args.warmup):
         state, out = step(state, scans[k % n_pre], k)
-    jax.block_until_ready(state)
+    sync(state)
 
     n_steps = max(1, args.scans // scans_per_step)
     t0 = time.perf_counter()
     for k in range(n_steps):
         state, out = step(state, scans[k % n_pre], k + args.warmup)
-    jax.block_until_ready(state)
+    sync(state)
     dt = time.perf_counter() - t0
 
     scans_per_sec = n_steps * scans_per_step / dt

@@ -1,20 +1,28 @@
-"""Pallas TPU kernel for connected-component label propagation.
+"""Pallas TPU kernel for connected-component label propagation + stats.
 
 The XLA path (``segmentation._label_propagation``) lowers each segmented
 min-scan to log-depth slice/concat chains that bounce the (N_SCAN, H) label
 grid through HBM a few hundred times per scan.  The grid is ~115 KB — it fits
 in VMEM ~100x over — so this kernel keeps labels, connectivity masks, and the
 scan carry entirely on-chip and runs ALL sweeps in one launch: the only HBM
-traffic is one read of the inputs and one write of the result.
+traffic is one read of the inputs and one write of the results.
+
+Alongside the labels the kernel propagates each component's MIN and MAX ring
+index with the same connectivity gating (min-/max-combine travel exactly the
+same paths as the min-label), so the cluster ring-span validity statistic
+(imageProjection.cpp:436-446) comes out of the kernel for free instead of
+costing segment reductions in XLA; 4-connected components occupy a contiguous
+ring interval, so span = rmax - rmin + 1 equals the reference's distinct-ring
+count.
 
 Algorithm (identical equivalence classes as the XLA path, converges at least
 as fast): per sweep
-  1. forward + backward segmented min-scan along rows (Hillis-Steele with
+  1. forward + backward segmented scans along rows (Hillis-Steele with
      ``pltpu.roll``; runs are cut at the column-wrap seam),
-  2. a seam merge (min across the wrap edge) followed by a second fwd+bwd
-     pass, which together reproduce the circular-run semantics the XLA path
-     gets from array doubling,
-  3. downward + upward segmented min-scan along columns.
+  2. a seam merge (combine across the wrap edge) followed by a second
+     fwd+bwd pass, which together reproduce the circular-run semantics the
+     XLA path gets from array doubling,
+  3. downward + upward segmented scans along columns.
 Applying the scans SEQUENTIALLY (each on the previous result) instead of
 min-combining parallel scans only accelerates convergence: labels decrease
 monotonically and every decrease travels a real connectivity path.
@@ -39,38 +47,35 @@ def _pad_w(h: int) -> int:
     return ((h + _LANE - 1) // _LANE) * _LANE
 
 
-def _ccl_kernel(lab_ref, cfwd_ref, cbwd_ref, cdown_ref, cup_ref, seam_ref,
-                out_ref, *, sweeps: int, h: int, big: int):
+def _ccl_kernel(lab_ref, rmin_ref, rmax_ref, cfwd_ref, cbwd_ref, cdown_ref,
+                cup_ref, seam_ref, lab_out, rmin_out, rmax_out, *,
+                sweeps: int, h: int, big: int):
     n, w = lab_ref.shape
     bigv = jnp.int32(big)
+    negv = jnp.int32(-1)
     col = jax.lax.broadcasted_iota(jnp.int32, (n, w), dimension=1)
     seam_cols = (col == 0) | (col == h - 1)
 
-    def hscan(lab, c_init, fwd):
+    # Three planes propagate in lockstep: (value, combine, neutral).
+    def combine_all(planes, shifted, conn):
+        lab = jnp.minimum(planes[0], jnp.where(conn, shifted[0], bigv))
+        rmn = jnp.minimum(planes[1], jnp.where(conn, shifted[1], bigv))
+        rmx = jnp.maximum(planes[2], jnp.where(conn, shifted[2], negv))
+        return (lab, rmn, rmx)
+
+    def scan(planes, c_init, axis, size, fwd):
         c = c_init
         d = 1
-        while d < w:
-            s = d if fwd else w - d     # positive-only circular shifts
-            lab_s = pltpu.roll(lab, s, axis=1)
-            c_s = pltpu.roll(c, s, axis=1)
-            lab = jnp.minimum(lab, jnp.where(c != 0, lab_s, bigv))
-            c = c & c_s
+        while d < size:
+            s = d if fwd else size - d      # positive-only circular shifts
+            shifted = tuple(pltpu.roll(p, s, axis=axis) for p in planes)
+            conn = c != 0
+            planes = combine_all(planes, shifted, conn)
+            c = c & pltpu.roll(c, s, axis=axis)
             d *= 2
-        return lab
+        return planes
 
-    def vscan(lab, c_init, down):
-        c = c_init
-        d = 1
-        while d < n:
-            s = d if down else n - d
-            lab_s = pltpu.roll(lab, s, axis=0)
-            c_s = pltpu.roll(c, s, axis=0)
-            lab = jnp.minimum(lab, jnp.where(c != 0, lab_s, bigv))
-            c = c & c_s
-            d *= 2
-        return lab
-
-    lab = lab_ref[:]
+    planes = (lab_ref[:], rmin_ref[:], rmax_ref[:])
     cfwd = cfwd_ref[:]
     cbwd = cbwd_ref[:]
     cdown = cdown_ref[:]
@@ -78,28 +83,41 @@ def _ccl_kernel(lab_ref, cfwd_ref, cbwd_ref, cdown_ref, cup_ref, seam_ref,
     seam = seam_ref[:] != 0     # (n, w) broadcast seam-connectivity flag
 
     for _ in range(sweeps):
-        lab = hscan(lab, cfwd, True)
-        lab = hscan(lab, cbwd, False)
-        # Seam merge: rows whose wrap edge is connected share the min of
-        # their two seam cells; the second fwd+bwd pass spreads it through
-        # both border runs (= circular-run semantics).
-        m = jnp.min(jnp.where(seam_cols, lab, bigv), axis=1, keepdims=True)
-        lab = jnp.where(seam & seam_cols, jnp.minimum(lab, m), lab)
-        lab = hscan(lab, cfwd, True)
-        lab = hscan(lab, cbwd, False)
-        lab = vscan(lab, cdown, True)
-        lab = vscan(lab, cup, False)
+        planes = scan(planes, cfwd, 1, w, True)
+        planes = scan(planes, cbwd, 1, w, False)
+        # Seam merge: rows whose wrap edge is connected share the combined
+        # value of their two seam cells; the second fwd+bwd pass spreads it
+        # through both border runs (= circular-run semantics).
+        lab, rmn, rmx = planes
+        sl = jnp.min(jnp.where(seam_cols, lab, bigv), axis=1, keepdims=True)
+        sn = jnp.min(jnp.where(seam_cols, rmn, bigv), axis=1, keepdims=True)
+        sx = jnp.max(jnp.where(seam_cols, rmx, negv), axis=1, keepdims=True)
+        on = seam & seam_cols
+        planes = (
+            jnp.where(on, jnp.minimum(lab, sl), lab),
+            jnp.where(on, jnp.minimum(rmn, sn), rmn),
+            jnp.where(on, jnp.maximum(rmx, sx), rmx),
+        )
+        planes = scan(planes, cfwd, 1, w, True)
+        planes = scan(planes, cbwd, 1, w, False)
+        planes = scan(planes, cdown, 0, n, True)
+        planes = scan(planes, cup, 0, n, False)
 
-    out_ref[:] = lab
+    lab_out[:] = planes[0]
+    rmin_out[:] = planes[1]
+    rmax_out[:] = planes[2]
 
 
 @functools.partial(jax.jit, static_argnames=("sweeps", "interpret"))
 def label_propagation_pallas(seed_mask: jax.Array, conn_h: jax.Array,
                              conn_v: jax.Array, sweeps: int,
-                             interpret: bool = False) -> jax.Array:
-    """Drop-in replacement for ``segmentation._label_propagation`` (same
-    contract: root flat-index labels, non-seeds get n_cells) computing the
-    sweeps in a single VMEM-resident kernel."""
+                             interpret: bool = False):
+    """Label propagation + per-component ring extrema in one VMEM-resident
+    kernel.  Same label contract as ``segmentation._label_propagation`` (root
+    flat-index labels; non-seeds get n_cells); additionally returns per-cell
+    (ring_min, ring_max) over the cell's component, read back from each
+    component's ROOT cell so the statistic is consistent with the final
+    partition."""
     n, h = seed_mask.shape
     w = _pad_w(h)
     n_cells = n * h
@@ -110,6 +128,9 @@ def label_propagation_pallas(seed_mask: jax.Array, conn_h: jax.Array,
         jnp.arange(n_cells, dtype=jnp.int32).reshape(n, h),
         jnp.int32(big),
     )
+    ring = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[:, None], (n, h))
+    rmin0 = jnp.where(seed_mask, ring, big)
+    rmax0 = jnp.where(seed_mask, ring, -1)
 
     conn_h = conn_h & seed_mask & jnp.roll(seed_mask, -1, axis=1)
     conn_v = conn_v & seed_mask[:-1] & seed_mask[1:]
@@ -127,19 +148,26 @@ def label_propagation_pallas(seed_mask: jax.Array, conn_h: jax.Array,
         return jnp.pad(a.astype(jnp.int32), ((0, 0), (0, w - h)),
                        constant_values=fill)
 
-    out = pl.pallas_call(
+    shp = jax.ShapeDtypeStruct((n, w), jnp.int32)
+    lab, rmn, rmx = pl.pallas_call(
         functools.partial(_ccl_kernel, sweeps=sweeps, h=h, big=big),
-        out_shape=jax.ShapeDtypeStruct((n, w), jnp.int32),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=(shp, shp, shp),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 8,
+        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),) * 3,
         interpret=interpret,
-    )(pad(labels, big), pad(cfwd, 0), pad(cbwd, 0), pad(cdown, 0),
-      pad(cup, 0), pad(seam, 0))
+    )(pad(labels, big), pad(rmin0, big), pad(rmax0, -1), pad(cfwd, 0),
+      pad(cbwd, 0), pad(cdown, 0), pad(cup, 0), pad(seam, 0))
 
-    labels = out[:, :h]
+    labels = lab[:, :h]
     # Pointer-jump compression canonicalizes stragglers to their root
     # (shared with the XLA path).
     flat = jnp.concatenate([labels.reshape(-1), jnp.array([big])])
     flat = flat[flat[:n_cells]]
     flat = jnp.concatenate([flat, jnp.array([big])])[flat]
-    return flat[:n_cells].reshape(n, h)
+    labels = flat[:n_cells]
+    # Ring extrema read from the component root (labels ARE root flat ids).
+    rmn_flat = jnp.concatenate([rmn[:, :h].reshape(-1), jnp.array([big])])
+    rmx_flat = jnp.concatenate([rmx[:, :h].reshape(-1), jnp.array([-1])])
+    ring_min = rmn_flat[labels].reshape(n, h)
+    ring_max = rmx_flat[labels].reshape(n, h)
+    return labels.reshape(n, h), ring_min, ring_max

@@ -74,25 +74,36 @@ def _compaction_perm(segmented: jax.Array):
     return perm.reshape(n, h), count, cols
 
 
-def _compact_rings(img: RangeImage, seg: Segmentation):
+def _compact_rings(img: RangeImage, seg: Segmentation,
+                   xyz_deskewed: jax.Array | None = None):
     """Per-ring stable compaction of segmented cells into column order.
 
     Returns dict of (N_SCAN, H) arrays in compacted layout + per-ring counts.
     Position i of ring r holds that ring's i-th segmented point; tail entries
     (i >= count[r]) are invalid.
+
+    All channels are stacked and permuted with ONE gather (gather ops carry a
+    large flat cost on this backend); float32 carries column indices (< 2^24)
+    and flags exactly.
     """
     perm, count, cols = _compaction_perm(seg.segmented)
-
-    def g(a):
-        return jnp.take_along_axis(a, perm, axis=1)
-
+    chans = [
+        img.xyz if xyz_deskewed is None else xyz_deskewed,  # 0:3
+        img.rng[..., None],                                 # 3
+        cols.astype(jnp.float32)[..., None],                # 4
+        seg.seg_ground_flag.astype(jnp.float32)[..., None],  # 5
+        img.rel_time[..., None],                            # 6
+        seg.segmented.astype(jnp.float32)[..., None],       # 7
+    ]
+    stacked = jnp.concatenate(chans, axis=-1)
+    g = jnp.take_along_axis(stacked, perm[..., None], axis=1)
     return {
-        "xyz": jnp.take_along_axis(img.xyz, perm[..., None], axis=1),
-        "rng": g(img.rng),
-        "col": g(cols),
-        "ground": g(seg.seg_ground_flag),
-        "rel": g(img.rel_time),
-        "seg": g(seg.segmented),
+        "xyz": g[..., 0:3],
+        "rng": g[..., 3],
+        "col": g[..., 4].astype(jnp.int32),
+        "ground": g[..., 5] > 0.5,
+        "rel": g[..., 6],
+        "seg": g[..., 7] > 0.5,
     }, count
 
 
@@ -123,11 +134,7 @@ def extract_features(
     always uses the PRE-deskew projection ranges exactly like the reference
     (segMsg ranges, featureAssociation.cpp:624-629)."""
     n, h = img.rng.shape
-    c, count = _compact_rings(img, seg)
-    if xyz_deskewed is not None:
-        # Re-apply the compaction permutation to the deskewed coordinates.
-        perm, _, _ = _compaction_perm(seg.segmented)
-        c["xyz"] = jnp.take_along_axis(xyz_deskewed, perm[..., None], axis=1)
+    c, count = _compact_rings(img, seg, xyz_deskewed=xyz_deskewed)
 
     idx = jnp.broadcast_to(jnp.arange(h, dtype=jnp.int32), (n, h))
     in_ring = idx < count[:, None]
@@ -244,17 +251,19 @@ def extract_features(
 
     def compact(mask, cap, xyz, ring, rel):
         """Index-order compaction of a dense mask into fixed-cap arrays via
-        cumsum + one-winner scatters (no sort; overflow beyond cap dropped)."""
+        cumsum + ONE stacked one-winner scatter (no sort; overflow beyond cap
+        dropped)."""
         mflat = mask.reshape(-1)
         slot = jnp.cumsum(mflat, dtype=jnp.int32) - 1
         tgt = jnp.where(mflat & (slot < cap), slot, cap)
-        out_xyz = jnp.zeros((cap + 1, 3)).at[tgt].set(xyz.reshape(-1, 3))[:cap]
-        out_ring = jnp.zeros((cap + 1,)).at[tgt].set(ring.reshape(-1))[:cap]
-        out_rel = jnp.zeros((cap + 1,)).at[tgt].set(rel.reshape(-1))[:cap]
-        out_ok = jnp.zeros((cap + 1,), bool).at[tgt].set(mflat)[:cap]
+        vals = jnp.concatenate([
+            xyz.reshape(-1, 3), ring.reshape(-1, 1), rel.reshape(-1, 1),
+            mflat.astype(jnp.float32).reshape(-1, 1)], axis=1)
+        out = jnp.zeros((cap + 1, 6), vals.dtype).at[tgt].set(vals)[:cap]
+        out_ok = out[:, 5] > 0.5
         z = out_ok.astype(jnp.float32)
-        return FeatureCloud(xyz=out_xyz * z[:, None], ring=out_ring * z,
-                            rel_time=out_rel * z, valid=out_ok)
+        return FeatureCloud(xyz=out[:, :3] * z[:, None], ring=out[:, 3] * z,
+                            rel_time=out[:, 4] * z, valid=out_ok)
 
     def gather_cloud(mask, cap):
         return compact(mask, cap, c["xyz"], ring_f, c["rel"])

@@ -121,31 +121,37 @@ def project_scan(
 
     flat = jnp.where(ok, row * h + col, n_cells)  # padded cell drops into slot n_cells
 
-    # Closest-point-wins, deterministic: min range per cell, then min point index
-    # among exact-min ties, then a one-winner scatter-add.
-    big = jnp.float32(jnp.inf)
-    rng_ok = jnp.where(ok, rng, big)
-    cell_min = jax.ops.segment_min(rng_ok, flat, num_segments=n_cells + 1)
-    is_min = ok & (rng_ok <= cell_min[flat])
+    # Closest-point-wins, deterministic, in ONE segment reduction: pack
+    # (range, point index) into a single sortable int32 key — the top 17 bits
+    # of the positive-float range bit pattern (order-preserving; ~2^-9
+    # relative quantization used ONLY to pick the winner) + 15 index bits
+    # (p_cap <= 32768).  min(key) = closest point, exact near-ties broken by
+    # lowest point index, deterministically.  Scatter/gather ops dominate
+    # this backend's per-scan cost, so one packed reduction + one gather +
+    # one stacked scatter replaces the previous two reductions + two gathers
+    # + two scatters.
+    assert p_cap <= (1 << 15), "packed projection key needs p_cap <= 32768"
     pidx = jnp.arange(p_cap, dtype=jnp.int32)
-    win_idx = jax.ops.segment_min(
-        jnp.where(is_min, pidx, p_cap), flat, num_segments=n_cells + 1
-    )
-    win = is_min & (pidx == win_idx[flat])
+    rng_bits = jax.lax.bitcast_convert_type(rng, jnp.int32)
+    key = jnp.where(ok, (rng_bits & ~0x7FFF) | pidx, jnp.int32(0x7FFFFFFF))
+    cell_key = jax.ops.segment_min(key, flat, num_segments=n_cells + 1)
 
     ori, start_ori, end_ori = _point_orientations(points, ok, p_cap)
     rel = (ori - start_ori) / (end_ori - start_ori)
 
-    def scatter(vals):
-        out = jnp.zeros((n_cells + 1,) + vals.shape[1:], vals.dtype)
-        return out.at[flat].add(jnp.where(
-            win.reshape((-1,) + (1,) * (vals.ndim - 1)), vals, 0
-        ))[:n_cells]
+    # The packed key's low 15 bits ARE the winning point index, so the cell
+    # channels come from one stacked GATHER of point data — no scatter and no
+    # winner-mask round trip.
+    valid_flat = cell_key[:n_cells] != 0x7FFFFFFF
+    win_idx = jnp.where(valid_flat, cell_key[:n_cells] & 0x7FFF, 0)
+    vals = jnp.concatenate(
+        [points[..., :3], rel[:, None], rng[:, None]], axis=1)
+    img = vals[win_idx] * valid_flat[:, None].astype(vals.dtype)
 
-    xyz_img = scatter(points[..., :3]).reshape(n, h, 3)
-    rel_img = scatter(rel).reshape(n, h)
-    valid_img = (cell_min[:n_cells] < big).reshape(n, h)
-    rng_img = jnp.where(valid_img, cell_min[:n_cells].reshape(n, h), big)
+    valid_img = valid_flat.reshape(n, h)
+    xyz_img = img[:, :3].reshape(n, h, 3)
+    rel_img = img[:, 3].reshape(n, h)
+    rng_img = jnp.where(valid_img, img[:, 4].reshape(n, h), jnp.inf)
 
     return RangeImage(
         xyz=xyz_img, rng=rng_img, valid=valid_img, rel_time=rel_img,

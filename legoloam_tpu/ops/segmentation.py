@@ -187,10 +187,14 @@ def segment(img: RangeImage, sensor: SensorConfig,
     conn_h, conn_v = _connectivity(img, sensor, cfg)
     use_pallas = cfg.ccl_backend == "pallas" or (
         cfg.ccl_backend == "auto" and jax.default_backend() not in ("cpu",))
+    cell_rspan = None
     if use_pallas:
         from .ccl_pallas import label_propagation_pallas
-        labels = label_propagation_pallas(seeds, conn_h, conn_v,
-                                          cfg.ccl_max_iters)
+        # Interpreter mode lets the "pallas" path run (and be tested) on CPU.
+        labels, rmin_cell, rmax_cell = label_propagation_pallas(
+            seeds, conn_h, conn_v, cfg.ccl_max_iters,
+            interpret=jax.default_backend() == "cpu")
+        cell_rspan = rmax_cell - rmin_cell + 1
     else:
         labels = _label_propagation(seeds, conn_h, conn_v, cfg.ccl_max_iters)
     flat_labels = labels.reshape(-1)
@@ -206,20 +210,21 @@ def segment(img: RangeImage, sensor: SensorConfig,
     seeds_flat = seeds.reshape(-1)
     ones = seeds_flat.astype(jnp.int32)
     sizes = jax.ops.segment_sum(ones, flat_labels, num_segments=n_cells + 1)
-    ring_of = (jnp.arange(n_cells, dtype=jnp.int32) // h)
-    rmin = jax.ops.segment_min(
-        jnp.where(seeds_flat, ring_of, n), flat_labels,
-        num_segments=n_cells + 1)
-    rmax = jax.ops.segment_max(
-        jnp.where(seeds_flat, ring_of, -1), flat_labels,
-        num_segments=n_cells + 1)
-    ring_span = (rmax[:n_cells] - rmin[:n_cells] + 1)
-    valid_cluster = (sizes[:n_cells] >= cfg.min_cluster_size) | (
-        (sizes[:n_cells] >= cfg.valid_point_num)
-        & (ring_span >= cfg.valid_line_num)
+    cell_size = sizes[flat_labels].reshape(n, h)
+    if cell_rspan is None:
+        ring_of = (jnp.arange(n_cells, dtype=jnp.int32) // h)
+        rmin = jax.ops.segment_min(
+            jnp.where(seeds_flat, ring_of, n), flat_labels,
+            num_segments=n_cells + 1)
+        rmax = jax.ops.segment_max(
+            jnp.where(seeds_flat, ring_of, -1), flat_labels,
+            num_segments=n_cells + 1)
+        cell_rspan = (rmax[flat_labels] - rmin[flat_labels] + 1).reshape(n, h)
+    cell_valid_cluster = seeds & (
+        (cell_size >= cfg.min_cluster_size)
+        | ((cell_size >= cfg.valid_point_num)
+           & (cell_rspan >= cfg.valid_line_num))
     )
-
-    cell_valid_cluster = seeds & valid_cluster[flat_labels].reshape(n, h)
     cell_invalid_cluster = seeds & ~cell_valid_cluster
 
     # Outlier thinning (imageProjection.cpp:328-335): invalid-cluster points in
@@ -244,7 +249,7 @@ def segment(img: RangeImage, sensor: SensorConfig,
     # Count valid clusters (diagnostic; roots are cells whose label == own index).
     root_ids = jnp.arange(n_cells, dtype=jnp.int32)
     is_root = seeds.reshape(-1) & (flat_labels == root_ids)
-    n_clusters = jnp.sum(is_root & valid_cluster)
+    n_clusters = jnp.sum(is_root & cell_valid_cluster.reshape(-1))
 
     label_out = jnp.where(
         cell_valid_cluster, labels,

@@ -53,19 +53,22 @@ def voxel_downsample(
     ijk = jnp.floor(points / leaf).astype(jnp.int32)
     # Arithmetic masking throughout: these arrays reach ~0.5M elements in
     # submap assembly, above the axon select-degradation threshold (masking.py).
+    # Gathers/scatters carry a large flat cost on this backend, so the sorted
+    # channels ride ONE stacked gather and the voxel stats ONE segment_sum.
     h = masked_fill_u32(_hash_voxel(ijk), valid, 0xFFFFFFFF)
     order = jnp.argsort(h)
     hs = h[order]
-    ps = points[order]
-    vs = valid[order]
+    stacked = jnp.concatenate(
+        [points, valid.astype(points.dtype)[:, None]], axis=1)[order]
+    ps, vf = stacked[:, :3], stacked[:, 3]
+    vs = vf > 0.5
     new_group = jnp.concatenate([jnp.array([True]), hs[1:] != hs[:-1]]) & vs
     gid = jnp.cumsum(new_group.astype(jnp.int32)) - 1
     gid = masked_fill(gid, vs & (gid < cap) & (gid >= 0), cap)
-    sums = jax.ops.segment_sum(
-        ps * vs[:, None].astype(ps.dtype), gid, num_segments=cap + 1
-    )[:cap]
-    counts = jax.ops.segment_sum(vs.astype(jnp.float32), gid,
-                                 num_segments=cap + 1)[:cap]
+    acc = jax.ops.segment_sum(
+        jnp.concatenate([ps * vf[:, None], vf[:, None]], axis=1), gid,
+        num_segments=cap + 1)[:cap]
+    sums, counts = acc[:, :3], acc[:, 3]
     out_valid = counts > 0
     out = sums / jnp.maximum(counts, 1.0)[:, None]
     return out * out_valid[:, None], out_valid
@@ -81,16 +84,22 @@ def voxel_downsample_with_payload(
     ijk = jnp.floor(points / leaf).astype(jnp.int32)
     h = masked_fill_u32(_hash_voxel(ijk), valid, 0xFFFFFFFF)
     order = jnp.argsort(h)
-    hs, ps, vs = h[order], points[order], valid[order]
-    pay = payload[order]
+    hs = h[order]
+    pay2 = payload if payload.ndim > 1 else payload[:, None]
+    pd = pay2.shape[1]
+    stacked = jnp.concatenate(
+        [points, pay2.astype(points.dtype),
+         valid.astype(points.dtype)[:, None]], axis=1)[order]
+    ps, pay_s, vf = stacked[:, :3], stacked[:, 3:3 + pd], stacked[:, 3 + pd]
+    vs = vf > 0.5
     new_group = jnp.concatenate([jnp.array([True]), hs[1:] != hs[:-1]]) & vs
     gid = jnp.cumsum(new_group.astype(jnp.int32)) - 1
     gid = masked_fill(gid, vs & (gid < cap) & (gid >= 0), cap)
-    vf = vs.astype(jnp.float32)
-    sums = jax.ops.segment_sum(ps * vf[:, None], gid, num_segments=cap + 1)[:cap]
-    pay2 = pay if pay.ndim > 1 else pay[:, None]
-    psums = jax.ops.segment_sum(pay2 * vf[:, None], gid, num_segments=cap + 1)[:cap]
-    counts = jax.ops.segment_sum(vf, gid, num_segments=cap + 1)[:cap]
+    acc = jax.ops.segment_sum(
+        jnp.concatenate([ps * vf[:, None], pay_s * vf[:, None],
+                         vf[:, None]], axis=1), gid,
+        num_segments=cap + 1)[:cap]
+    sums, psums, counts = acc[:, :3], acc[:, 3:3 + pd], acc[:, 3 + pd]
     out_valid = counts > 0
     c = jnp.maximum(counts, 1.0)
     out = (sums / c[:, None]) * out_valid[:, None]

@@ -43,8 +43,8 @@ def test_pallas_ccl_matches_xla_partition(scan_idx):
 
     lab_xla = segmentation._label_propagation(seeds, conn_h, conn_v,
                                               cfg.seg.ccl_max_iters)
-    lab_pl = label_propagation_pallas(seeds, conn_h, conn_v,
-                                      cfg.seg.ccl_max_iters, interpret=True)
+    lab_pl, rmin, rmax = label_propagation_pallas(
+        seeds, conn_h, conn_v, cfg.seg.ccl_max_iters, interpret=True)
 
     # Labels are root ids; compare the induced partitions, which is what
     # downstream validity/statistics consume.
@@ -55,6 +55,41 @@ def test_pallas_ccl_matches_xla_partition(scan_idx):
     n_cells = seeds.size
     assert (np.asarray(lab_pl).reshape(-1)[~np.asarray(seeds).reshape(-1)]
             == n_cells).all()
+
+    # In-kernel ring extrema must equal exact per-partition reductions.
+    labs = np.asarray(lab_pl).reshape(-1)
+    s = np.asarray(seeds).reshape(-1)
+    ring = np.repeat(np.arange(seeds.shape[0]), seeds.shape[1])
+    rmin_np = np.asarray(rmin).reshape(-1)
+    rmax_np = np.asarray(rmax).reshape(-1)
+    import collections
+    lo = collections.defaultdict(lambda: 10 ** 9)
+    hi = collections.defaultdict(lambda: -1)
+    for i in np.nonzero(s)[0]:
+        lo[labs[i]] = min(lo[labs[i]], ring[i])
+        hi[labs[i]] = max(hi[labs[i]], ring[i])
+    for i in np.nonzero(s)[0]:
+        assert rmin_np[i] == lo[labs[i]], (i, rmin_np[i], lo[labs[i]])
+        assert rmax_np[i] == hi[labs[i]], (i, rmax_np[i], hi[labs[i]])
+
+
+def test_segment_pallas_path_matches_xla_path():
+    """Full segment() parity: the pallas-CCL path (with in-kernel ring stats)
+    must produce the same masks as the XLA path."""
+    import dataclasses
+    cfg = DEFAULT
+    scene = synthetic.default_scene()
+    pose = Pose(jnp.eye(3), jnp.array([1.0, -0.5, 0.8]))
+    pts, valid, ring = synthetic.raycast_scan(scene, pose, cfg.sensor)
+    img = projection.project_scan(pts, valid, cfg.sensor, ring=ring)
+    seg_xla = segmentation.segment(
+        img, cfg.sensor, dataclasses.replace(cfg.seg, ccl_backend="xla"))
+    seg_pl = segmentation.segment(
+        img, cfg.sensor, dataclasses.replace(cfg.seg, ccl_backend="pallas"))
+    for field in ["ground", "segmented", "outlier", "seg_ground_flag"]:
+        a, b = getattr(seg_xla, field), getattr(seg_pl, field)
+        assert (np.asarray(a) == np.asarray(b)).all(), field
+    assert int(seg_xla.n_clusters) == int(seg_pl.n_clusters)
 
 
 def test_pallas_ccl_wraparound_cluster():
@@ -67,6 +102,9 @@ def test_pallas_ccl_wraparound_cluster():
     seeds = seeds.at[8:11, :].set(colmask[None, :])
     conn_h = seeds & jnp.roll(seeds, -1, axis=1)
     conn_v = seeds[:-1] & seeds[1:]
-    lab = label_propagation_pallas(seeds, conn_h, conn_v, 6, interpret=True)
+    lab, rmin, rmax = label_propagation_pallas(seeds, conn_h, conn_v, 6,
+                                               interpret=True)
     labs = np.asarray(lab)[np.asarray(seeds)]
     assert (labs == labs[0]).all(), "seam-crossing cluster fragmented"
+    assert (np.asarray(rmin)[np.asarray(seeds)] == 8).all()
+    assert (np.asarray(rmax)[np.asarray(seeds)] == 10).all()

@@ -16,6 +16,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
+import numpy as _np
+
+
+def _sync(out):
+    """Real device sync: jax.block_until_ready is a NO-OP on the axon
+    backend (verified 2026-08-18); fetching a scalar to host is the only
+    reliable barrier."""
+    leaf = jax.tree.leaves(out)[0]
+    _np.asarray(jax.tree.leaves(out)[-1]); _np.asarray(leaf)
+    return out
 
 
 def main():
@@ -52,11 +62,11 @@ def main():
 
     def run(prog, state):
         out = prog(state, *batch)
-        jax.block_until_ready(out)
+        _sync(out)
         t0 = time.perf_counter()
         for _ in range(args.iters):
             out = prog(state, *batch)
-        jax.block_until_ready(out)
+        _sync(out)
         return (time.perf_counter() - t0) / (args.iters * args.block) * 1e3
 
     import functools
@@ -111,8 +121,8 @@ def main():
             ground = segmentation.ground_removal(img, cfg.sensor, cfg.seg)
             seeds = img.valid & ~ground
             ch, cv = segmentation._connectivity(img, cfg.sensor, cfg.seg)
-            labels = label_propagation_pallas(seeds, ch, cv,
-                                              cfg.seg.ccl_max_iters)
+            labels, _, _ = label_propagation_pallas(seeds, ch, cv,
+                                                    cfg.seg.ccl_max_iters)
             n, h = cfg.sensor.n_scan, cfg.sensor.horizon_scan
             cols = jnp.arange(h)[None, :]
             cell_ok = seeds & (labels < n * h)
@@ -128,6 +138,43 @@ def main():
         return jax.lax.scan(body, jnp.float32(0.0) * state.xi[0],
                             (points, valid, ring))
 
+    # --- projection only ---
+    @jax.jit
+    def projection_only(state, points, valid, ring):
+        def body(st, scan):
+            pts, v, r = scan
+            img = projection.project_scan(pts, v, cfg.sensor, ring=r)
+            tick = st + jnp.sum(img.xyz) + jnp.sum(img.rel_time)
+            return tick, img.valid.sum()
+        return jax.lax.scan(body, jnp.float32(0.0) * state.xi[0],
+                            (points, valid, ring))
+
+    # --- frontend without the less-flat voxel downsample ---
+    from legoloam_tpu.ops import features as fmod
+
+    @jax.jit
+    def frontend_novoxel(state, points, valid, ring):
+        orig = fmod.voxel_downsample_with_payload
+
+        def stub(pts, payload, valid_, leaf, cap):
+            return (pts[:cap], payload[:cap], valid_[:cap])
+
+        fmod.voxel_downsample_with_payload = stub
+        try:
+            def body(st, scan):
+                pts, v, r = scan
+                img = projection.project_scan(pts, v, cfg.sensor, ring=r)
+                seg = segmentation.segment(img, cfg.sensor, cfg.seg)
+                feats = fmod.extract_features.__wrapped__(
+                    img, seg, cfg.sensor, cfg.feat)
+                tick = st + jnp.sum(feats.sharp.xyz) + \
+                    jnp.sum(feats.less_flat.xyz)
+                return tick, feats.sharp.valid.sum()
+            return jax.lax.scan(body, jnp.float32(0.0) * state.xi[0],
+                                (points, valid, ring))
+        finally:
+            fmod.voxel_downsample_with_payload = orig
+
     # --- LM with 1 iteration (attributes the per-iteration solve+knn cost) ---
     cfg_lm1 = cfg.replace(odom=cfg.odom.__class__(
         **{**cfg.odom.__dict__, "max_iterations": 1}))
@@ -138,11 +185,77 @@ def main():
         **{**cfg.odom.__dict__, "max_iterations": 2}))
     lm2 = functools.partial(pipeline.odometry_scan_block, cfg=cfg_lm2)
 
+    # --- odometry internals: fresh scan bodies with pieces stubbed ---
+    from legoloam_tpu.models import odometry as om
+    from legoloam_tpu.ops import se3
+
+    def odom_block(lm_loop_body=True, warp_end=True, corr=True):
+        ocfg = cfg.odom
+
+        @jax.jit
+        def prog(state, points, valid, ring):
+            def body(st, scan):
+                pts, v, r = scan
+                feats = pipeline.process_scan(pts, v, r, cfg)
+                xi0 = st.xi
+                if lm_loop_body:
+                    if corr:
+                        xi_a, it_a, n_s = om._lm_loop(
+                            feats.flat, st.last_surf, xi0, ocfg,
+                            om._find_surf_corr, om._SURF_DOF, is_line=False)
+                        xi_b, it_b, n_c = om._lm_loop(
+                            feats.sharp, st.last_corner, xi_a, ocfg,
+                            om._find_corner_corr, om._CORNER_DOF, is_line=True)
+                    else:
+                        def fake_corr(p_warped, q_valid, last, c):
+                            z = jnp.zeros_like(p_warped)
+                            return om._Corr(
+                                n=z.at[:, 2].set(1.0), off=jnp.zeros(
+                                    p_warped.shape[0]),
+                                t1=z, t2=z.at[:, 0].set(1.0), valid=q_valid)
+                        xi_a, it_a, n_s = om._lm_loop(
+                            feats.flat, st.last_surf, xi0, ocfg,
+                            fake_corr, om._SURF_DOF, is_line=False)
+                        xi_b, it_b, n_c = om._lm_loop(
+                            feats.sharp, st.last_corner, xi_a, ocfg,
+                            fake_corr, om._CORNER_DOF, is_line=True)
+                    xi = xi_b
+                else:
+                    xi = xi0
+                motion = se3.se3_exp(xi)
+                new_pose = se3.compose(st.pose, motion)
+                if warp_end:
+                    lc = om._warp_to_end(xi, feats.less_sharp)
+                    ls = om._warp_to_end(xi, feats.less_flat)
+                    lo = om._warp_to_end(xi, feats.outlier)
+                elif warp_end is None:     # carry passthrough (old clouds)
+                    lc, ls, lo = st.last_corner, st.last_surf, \
+                        st.last_outlier
+                else:
+                    lc, ls, lo = feats.less_sharp, feats.less_flat, \
+                        feats.outlier
+                st2 = om.OdometryState(
+                    pose=new_pose, xi=xi, last_corner=lc, last_surf=ls,
+                    last_outlier=lo, initialized=jnp.array(True))
+                return st2, (new_pose.t, xi)
+            return jax.lax.scan(body, state, (points, valid, ring))
+        return prog
+
     rows = [
         ("full (5 LM iters)", run(full, state1)),
+        ("odom: no corr search", run(odom_block(corr=False), state1)),
+        ("odom: no lm loop", run(odom_block(lm_loop_body=False), state1)),
+        ("odom: no lm, no warp", run(odom_block(lm_loop_body=False,
+                                                warp_end=False), state1)),
+        ("odom: no lm, carry pass", run(odom_block(lm_loop_body=False,
+                                                   warp_end=None), state1)),
+        ("odom: no warp_to_end", run(odom_block(warp_end=False), state1)),
+        ("odom: rebuilt full", run(odom_block(), state1)),
         ("frontend only", run(frontend_only, state1)),
         ("frontend, no CCL", run(frontend_noseg, state1)),
         ("frontend, no validity", run(frontend_novalid, state1)),
+        ("projection only", run(projection_only, state1)),
+        ("frontend, no voxel", run(frontend_novoxel, state1)),
         ("full, 1 LM iter", run(lm1, state1)),
         ("full, 2 LM iters", run(lm2, state1)),
     ]

@@ -124,6 +124,9 @@ class FeatureConfig:
     max_flat: int = 512
     max_less_flat: int = 8192
     max_outlier: int = 2048            # thinned invalid-cluster points
+    # Pick-loop implementation: "auto" = VMEM-resident Pallas kernel on TPU,
+    # XLA dense one-hot trips elsewhere; "pallas" / "xla" force one.
+    picks_backend: str = "auto"
 
 
 @dataclasses.dataclass(frozen=True)

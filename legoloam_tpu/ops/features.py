@@ -140,6 +140,16 @@ def extract_features(
     in_ring = idx < count[:, None]
     rng = jnp.where(in_ring, c["rng"], 0.0)
 
+    use_pallas = cfg.picks_backend == "pallas" or (
+        cfg.picks_backend == "auto" and jax.default_backend() not in ("cpu",))
+    if use_pallas:
+        from .features_pallas import pick_labels_pallas
+        label = pick_labels_pallas(
+            rng, c["col"], c["ground"], count, cfg,
+            interpret=jax.default_backend() == "cpu").astype(jnp.int8)
+        return _build_clouds(img, seg, c, count, in_ring, label, cfg,
+                             xyz_deskewed)
+
     # ---- calculateSmoothness (featureAssociation.cpp:621-641) ----
     halfwin = cfg.curvature_halfwin
     acc = -2.0 * halfwin * rng
@@ -246,27 +256,36 @@ def extract_features(
         label = jnp.where(pick_grid, jnp.int8(-1), label)
         picked_grid = suppress(picked_grid, pick_grid)
 
+    return _build_clouds(img, seg, c, count, in_ring, label, cfg,
+                         xyz_deskewed)
+
+
+def _compact_cloud(mask, cap, xyz, ring, rel):
+    """Index-order compaction of a dense mask into fixed-cap arrays via
+    cumsum + ONE stacked one-winner scatter (no sort; overflow beyond cap
+    dropped)."""
+    mflat = mask.reshape(-1)
+    slot = jnp.cumsum(mflat, dtype=jnp.int32) - 1
+    tgt = jnp.where(mflat & (slot < cap), slot, cap)
+    vals = jnp.concatenate([
+        xyz.reshape(-1, 3), ring.reshape(-1, 1), rel.reshape(-1, 1),
+        mflat.astype(jnp.float32).reshape(-1, 1)], axis=1)
+    out = jnp.zeros((cap + 1, 6), vals.dtype).at[tgt].set(vals)[:cap]
+    out_ok = out[:, 5] > 0.5
+    z = out_ok.astype(jnp.float32)
+    return FeatureCloud(xyz=out[:, :3] * z[:, None], ring=out[:, 3] * z,
+                        rel_time=out[:, 4] * z, valid=out_ok)
+
+
+def _build_clouds(img, seg, c, count, in_ring, label, cfg, xyz_deskewed):
+    """Shared tail of extract_features: label grid -> the five fixed-cap
+    feature clouds (featureAssociation.cpp:702-783 output sets)."""
+    n, h = img.rng.shape
     ring_f = jnp.broadcast_to(
         jnp.arange(n, dtype=jnp.float32)[:, None], (n, h))
 
-    def compact(mask, cap, xyz, ring, rel):
-        """Index-order compaction of a dense mask into fixed-cap arrays via
-        cumsum + ONE stacked one-winner scatter (no sort; overflow beyond cap
-        dropped)."""
-        mflat = mask.reshape(-1)
-        slot = jnp.cumsum(mflat, dtype=jnp.int32) - 1
-        tgt = jnp.where(mflat & (slot < cap), slot, cap)
-        vals = jnp.concatenate([
-            xyz.reshape(-1, 3), ring.reshape(-1, 1), rel.reshape(-1, 1),
-            mflat.astype(jnp.float32).reshape(-1, 1)], axis=1)
-        out = jnp.zeros((cap + 1, 6), vals.dtype).at[tgt].set(vals)[:cap]
-        out_ok = out[:, 5] > 0.5
-        z = out_ok.astype(jnp.float32)
-        return FeatureCloud(xyz=out[:, :3] * z[:, None], ring=out[:, 3] * z,
-                            rel_time=out[:, 4] * z, valid=out_ok)
-
     def gather_cloud(mask, cap):
-        return compact(mask, cap, c["xyz"], ring_f, c["rel"])
+        return _compact_cloud(mask, cap, c["xyz"], ring_f, c["rel"])
 
     sharp = gather_cloud(label == 2, cfg.max_sharp)
     less_sharp = gather_cloud(label >= 1, cfg.max_less_sharp)
@@ -285,8 +304,8 @@ def extract_features(
     # Outlier cloud (imageProjection.cpp:328-335): gathered straight from the
     # DENSE image (these cells are not part of the ring compaction).
     xyz_src = img.xyz if xyz_deskewed is None else xyz_deskewed
-    outlier = compact(seg.outlier, cfg.max_outlier, xyz_src, ring_f,
-                      img.rel_time)
+    outlier = _compact_cloud(seg.outlier, cfg.max_outlier, xyz_src, ring_f,
+                             img.rel_time)
 
     return ScanFeatures(sharp=sharp, less_sharp=less_sharp, flat=flat,
                         less_flat=less_flat, outlier=outlier)

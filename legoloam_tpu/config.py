@@ -197,6 +197,9 @@ class MappingConfig:
     scan_corner_cap: int = 2048                # downsampled current-scan sizes
     scan_surf_cap: int = 8192
     voxel_table_size: int = 1 << 17            # hash-table slots for voxel filters
+    # 5-NN implementation: "auto" = single-distance-pass Pallas kernel on
+    # TPU, XLA multi-pass elsewhere; "pallas" / "xla" force one.
+    knn_backend: str = "auto"
 
 
 @dataclasses.dataclass(frozen=True)

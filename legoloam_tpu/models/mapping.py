@@ -89,18 +89,16 @@ def init_state(cfg: MappingConfig) -> MapState:
 # Submap assembly
 # ---------------------------------------------------------------------------
 
-_SUBMAP_KF = 64  # static cap on gathered keyframes (reference: 50-keyframe
-                 # deque / 50 m radius, mapOptmization.cpp:961-1065)
-
-
 def extract_submap(kf: KeyframeStore, center: jax.Array, cfg: MappingConfig):
     """Gather the nearest keyframes within the search radius, transform their
-    clouds to world, and voxel-downsample into fixed-cap submap arrays."""
+    clouds to world, and voxel-downsample into fixed-cap submap arrays.
+    The keyframe cap is the reference's surroundingKeyframeSearchNum=50
+    (mapOptmization.cpp:961-1065)."""
     m = kf.t.shape[0]
     kf_ok = jnp.arange(m) < kf.count
     d2 = jnp.sum((kf.t - center[None, :]) ** 2, axis=-1)
     d2 = jnp.where(kf_ok, d2, jnp.inf)
-    sel_score, sel = jax.lax.top_k(-d2, min(_SUBMAP_KF, m))
+    sel_score, sel = jax.lax.top_k(-d2, min(cfg.search_num, m))
     sel_ok = (-sel_score) <= cfg.search_radius ** 2
 
     def gather(cloud, valid):
@@ -122,9 +120,21 @@ def extract_submap(kf: KeyframeStore, center: jax.Array, cfg: MappingConfig):
 # Scan-to-map LM
 # ---------------------------------------------------------------------------
 
+def _knn5(p, pv, sub, sv, cfg: MappingConfig):
+    """5-NN with backend selection: single-distance-pass Pallas kernel on
+    TPU, XLA multi-pass elsewhere."""
+    use_pallas = cfg.knn_backend == "pallas" or (
+        cfg.knn_backend == "auto" and jax.default_backend() not in ("cpu",))
+    if use_pallas:
+        from ..ops.knn_pallas import knn_pallas
+        return knn_pallas(p, pv, sub, sv, k=5,
+                          interpret=jax.default_backend() == "cpu")
+    return knn(p, pv, sub, sv, k=5)
+
+
 def _corner_residuals(p_world, q_valid, sub, sub_valid, cfg: MappingConfig):
     """cornerOptimization (mapOptmization.cpp:1093-1174): 5-NN PCA line fit."""
-    d, i = knn(p_world, q_valid, sub, sub_valid, k=5)
+    d, i = _knn5(p_world, q_valid, sub, sub_valid, cfg)
     gate = q_valid & (d[:, 4] < cfg.nn_max_dist)
     nn = sub[i]                                   # (N, 5, 3)
     c, v1, evals = lm.pca_line(nn)
@@ -140,7 +150,7 @@ def _corner_residuals(p_world, q_valid, sub, sub_valid, cfg: MappingConfig):
 
 def _surf_residuals(p_world, q_valid, sub, sub_valid, cfg: MappingConfig):
     """surfOptimization (mapOptmization.cpp:1176-1227): 5-NN LSQ plane fit."""
-    d, i = knn(p_world, q_valid, sub, sub_valid, k=5)
+    d, i = _knn5(p_world, q_valid, sub, sub_valid, cfg)
     gate = q_valid & (d[:, 4] < cfg.nn_max_dist)
     nn = sub[i]
     n, off, max_off = lm.fit_plane_lstsq(nn)

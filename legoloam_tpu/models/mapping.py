@@ -109,10 +109,12 @@ def extract_submap(kf: KeyframeStore, center: jax.Array, cfg: MappingConfig):
 
     cpts, cval = gather(kf.corner, kf.corner_valid)
     spts, sval = gather(kf.surf, kf.surf_valid)
+    # Morton-ordered output (origin=center): the scan-to-map kNN kernel culls
+    # reference chunks by AABB, which needs spatially sorted submaps.
     sub_c, sub_cv = voxel_downsample(cpts, cval, cfg.corner_leaf,
-                                     cfg.submap_corner_cap)
+                                     cfg.submap_corner_cap, origin=center)
     sub_s, sub_sv = voxel_downsample(spts, sval, cfg.surf_leaf,
-                                     cfg.submap_surf_cap)
+                                     cfg.submap_surf_cap, origin=center)
     return (sub_c, sub_cv), (sub_s, sub_sv)
 
 
@@ -127,41 +129,80 @@ def _knn5(p, pv, sub, sv, cfg: MappingConfig):
         cfg.knn_backend == "auto" and jax.default_backend() not in ("cpu",))
     if use_pallas:
         from ..ops.knn_pallas import knn_pallas
+        # gate = the acceptance radius (nn_max_dist is the SQUARED 5th-NN
+        # threshold, mapOptmization.cpp:1101,1183): beyond it results only
+        # need to exceed the gate, which lets the kernel cull whole chunks.
         return knn_pallas(p, pv, sub, sv, k=5,
+                          gate=float(cfg.nn_max_dist) ** 0.5,
                           interpret=jax.default_backend() == "cpu")
     return knn(p, pv, sub, sv, k=5)
 
 
-def _corner_residuals(p_world, q_valid, sub, sub_valid, cfg: MappingConfig):
-    """cornerOptimization (mapOptmization.cpp:1093-1174): 5-NN PCA line fit."""
+class _CorrGeom(NamedTuple):
+    """Frozen correspondence geometry between refreshes: per corner point a
+    fitted 3D line (two points), per surf point a fitted plane."""
+    c_t1: jax.Array      # (Nc, 3) line endpoints
+    c_t2: jax.Array
+    c_gate: jax.Array    # (Nc,) NN-distance + line-shape gates
+    s_n: jax.Array       # (Ns, 3) unit plane normals
+    s_off: jax.Array     # (Ns,)  plane offsets
+    s_gate: jax.Array
+
+
+def _fit_corner(p_world, q_valid, sub, sub_valid, cfg: MappingConfig):
+    """cornerOptimization fit half (mapOptmization.cpp:1093-1127):
+    5-NN + PCA line through the neighbors."""
     d, i = _knn5(p_world, q_valid, sub, sub_valid, cfg)
     gate = q_valid & (d[:, 4] < cfg.nn_max_dist)
     nn = sub[i]                                   # (N, 5, 3)
     c, v1, evals = lm.pca_line(nn)
     line_ok = evals[:, 2] > cfg.line_eig_ratio * evals[:, 1]
-    t1 = c + 0.1 * v1
-    t2 = c - 0.1 * v1
-    dir_, ld2 = lm.point_to_line(p_world, t1, t2)
-    w = 1.0 - cfg.robust_weight_scale * jnp.abs(ld2)
-    ok = gate & line_ok & (w > cfg.robust_weight_min) & (ld2 > 0)
-    w = jnp.where(ok, w, 0.0)
-    return dir_ * w[:, None], ld2 * w, ok
+    return c + 0.1 * v1, c - 0.1 * v1, gate & line_ok
 
 
-def _surf_residuals(p_world, q_valid, sub, sub_valid, cfg: MappingConfig):
-    """surfOptimization (mapOptmization.cpp:1176-1227): 5-NN LSQ plane fit."""
+def _fit_surf(p_world, q_valid, sub, sub_valid, cfg: MappingConfig):
+    """surfOptimization fit half (mapOptmization.cpp:1176-1207):
+    5-NN + LSQ plane through the neighbors."""
     d, i = _knn5(p_world, q_valid, sub, sub_valid, cfg)
     gate = q_valid & (d[:, 4] < cfg.nn_max_dist)
     nn = sub[i]
     n, off, max_off = lm.fit_plane_lstsq(nn)
     plane_ok = max_off <= cfg.plane_fit_tol
+    return n, off, gate & plane_ok
+
+
+def _corner_residuals_from(p_world, t1, t2, gate, cfg: MappingConfig):
+    """Point-to-line residual + robust weight vs the frozen line
+    (mapOptmization.cpp:1128-1170)."""
+    dir_, ld2 = lm.point_to_line(p_world, t1, t2)
+    w = 1.0 - cfg.robust_weight_scale * jnp.abs(ld2)
+    ok = gate & (w > cfg.robust_weight_min) & (ld2 > 0)
+    w = jnp.where(ok, w, 0.0)
+    return dir_ * w[:, None], ld2 * w, ok
+
+
+def _surf_residuals_from(p_world, n, off, gate, cfg: MappingConfig):
+    """Point-to-plane residual + robust weight vs the frozen plane
+    (mapOptmization.cpp:1210-1222)."""
     pd2 = jnp.sum(n * p_world, axis=-1) + off
     rng = jnp.linalg.norm(p_world, axis=-1)
     w = 1.0 - cfg.robust_weight_scale * jnp.abs(pd2) / jnp.sqrt(
         jnp.maximum(jnp.sqrt(jnp.maximum(rng, 1e-9)), 1e-9))
-    ok = gate & plane_ok & (w > cfg.robust_weight_min) & (jnp.abs(pd2) > 0)
+    ok = gate & (w > cfg.robust_weight_min) & (jnp.abs(pd2) > 0)
     w = jnp.where(ok, w, 0.0)
     return n * w[:, None], pd2 * w, ok
+
+
+def _corner_residuals(p_world, q_valid, sub, sub_valid, cfg: MappingConfig):
+    """Fit + residual in one shot (reference per-iteration behavior)."""
+    t1, t2, gate = _fit_corner(p_world, q_valid, sub, sub_valid, cfg)
+    return _corner_residuals_from(p_world, t1, t2, gate, cfg)
+
+
+def _surf_residuals(p_world, q_valid, sub, sub_valid, cfg: MappingConfig):
+    """Fit + residual in one shot (reference per-iteration behavior)."""
+    n, off, gate = _fit_surf(p_world, q_valid, sub, sub_valid, cfg)
+    return _surf_residuals_from(p_world, n, off, gate, cfg)
 
 
 def scan_to_map(
@@ -171,23 +212,44 @@ def scan_to_map(
     sub_c, sub_cv, sub_s, sub_sv,
     cfg: MappingConfig,
 ):
-    """Reference scan2MapOptimization (mapOptmization.cpp:1329-1350)."""
+    """Reference scan2MapOptimization (mapOptmization.cpp:1329-1350).
+
+    The reference re-searches 5-NN correspondences and re-fits the line/plane
+    every iteration.  With ``cfg.corr_refresh_every`` = R > 1, the (dominant)
+    kNN + fit half runs only on iterations 0, R, 2R, ... and the fitted
+    geometry is frozen in between — the same lagged-correspondence idiom the
+    reference itself uses in odometry (featureAssociation.cpp:1163, re-search
+    every 5th iteration).  Residual distances and robust weights are still
+    recomputed from the CURRENT pose every iteration."""
     map_ok = (jnp.sum(sub_cv) >= cfg.min_corner_map) & (
         jnp.sum(sub_sv) >= cfg.min_surf_map)
 
-    nc, ns = corner.shape[0], surf.shape[0]
+    nc = corner.shape[0]
+
+    def search(T):
+        pc_w = se3.transform_points(T, corner)
+        ps_w = se3.transform_points(T, surf)
+        t1, t2, c_gate = _fit_corner(pc_w, corner_valid, sub_c, sub_cv, cfg)
+        n, off, s_gate = _fit_surf(ps_w, surf_valid, sub_s, sub_sv, cfg)
+        return _CorrGeom(t1, t2, c_gate, n, off, s_gate)
 
     def cond(st):
-        i, T, deg, done, _, _, _ = st
+        i, T, deg, done, geom, _, _, _ = st
         return (i < cfg.max_iterations) & ~done & map_ok
 
     def body(st):
-        i, T, deg, done, _, _, _ = st
+        i, T, deg, done, geom, _, _, _ = st
+        if cfg.corr_refresh_every > 1:
+            geom = jax.lax.cond(i % cfg.corr_refresh_every == 0,
+                                lambda: search(T), lambda: geom)
+        else:
+            geom = search(T)
         pc_w = se3.transform_points(T, corner)
         ps_w = se3.transform_points(T, surf)
-        cdir, cres, c_ok = _corner_residuals(pc_w, corner_valid, sub_c, sub_cv,
-                                             cfg)
-        sdir, sres, s_ok = _surf_residuals(ps_w, surf_valid, sub_s, sub_sv, cfg)
+        cdir, cres, c_ok = _corner_residuals_from(pc_w, geom.c_t1, geom.c_t2,
+                                                  geom.c_gate, cfg)
+        sdir, sres, s_ok = _surf_residuals_from(ps_w, geom.s_n, geom.s_off,
+                                                geom.s_gate, cfg)
         p_all = jnp.concatenate([pc_w, ps_w], axis=0)
         dir_all = jnp.concatenate([cdir, sdir], axis=0)
         res_all = jnp.concatenate([cres, sres], axis=0)
@@ -203,11 +265,17 @@ def scan_to_map(
         t_cm = jnp.linalg.norm(delta[3:]) * 100.0
         done = ((rot_deg < cfg.conv_rot_deg) & (t_cm < cfg.conv_trans_cm)) \
             | ~enough
-        return (i + 1, T, deg, done, jnp.sum(c_ok), jnp.sum(s_ok), enough)
+        return (i + 1, T, deg, done, geom, jnp.sum(c_ok), jnp.sum(s_ok),
+                enough)
 
+    geom0 = _CorrGeom(
+        c_t1=jnp.zeros((nc, 3)), c_t2=jnp.ones((nc, 3)),
+        c_gate=jnp.zeros((nc,), bool),
+        s_n=jnp.zeros((surf.shape[0], 3)), s_off=jnp.zeros((surf.shape[0],)),
+        s_gate=jnp.zeros((surf.shape[0],), bool))
     init = (jnp.int32(0), guess, lm.identity_degeneracy(6), jnp.array(False),
-            jnp.int32(0), jnp.int32(0), jnp.array(False))
-    i, T, _, _, n_c, n_s, _ = jax.lax.while_loop(cond, body, init)
+            geom0, jnp.int32(0), jnp.int32(0), jnp.array(False))
+    i, T, _, _, _, n_c, n_s, _ = jax.lax.while_loop(cond, body, init)
     return T, i, n_c, n_s
 
 
@@ -234,14 +302,18 @@ def mapping_step(
     guess = jax.tree.map(
         lambda a, b: jnp.where(state.initialized, a, b), guess_raw, odom_pose)
 
-    # 2. downsampleCurrentScan (mapOptmization.cpp:1067-1091).
+    # 2. downsampleCurrentScan (mapOptmization.cpp:1067-1091).  Scan-frame
+    # Morton ordering (origin=0, the sensor): rigid transforms preserve
+    # locality, so the world-frame queries stay chunk-coherent for culling.
+    zero3 = jnp.zeros((3,), corner_cloud.xyz.dtype)
     c_pts, c_ok = voxel_downsample(corner_cloud.xyz, corner_cloud.valid,
-                                   cfg.corner_leaf, cfg.scan_corner_cap)
+                                   cfg.corner_leaf, cfg.scan_corner_cap,
+                                   origin=zero3)
     surf_all = jnp.concatenate([surf_cloud.xyz, outlier_cloud.xyz], axis=0)
     surf_all_ok = jnp.concatenate([surf_cloud.valid, outlier_cloud.valid],
                                   axis=0)
     s_pts, s_ok = voxel_downsample(surf_all, surf_all_ok, cfg.surf_leaf,
-                                   cfg.scan_surf_cap)
+                                   cfg.scan_surf_cap, origin=zero3)
 
     # 3. Submap around the guess.
     (sub_c, sub_cv), (sub_s, sub_sv) = extract_submap(state.kf, guess.t, cfg)

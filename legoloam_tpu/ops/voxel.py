@@ -40,22 +40,53 @@ def _hash_voxel(ijk: jax.Array) -> jax.Array:
     return (u[..., 0] * p1) ^ (u[..., 1] * p2) ^ (u[..., 2] * p3)
 
 
+def _part1by2(x: jax.Array) -> jax.Array:
+    """Spread a 10-bit integer so its bits occupy positions 0,3,6,... (the
+    standard Morton-code magic-number expansion)."""
+    x = x & jnp.uint32(0x3FF)
+    x = (x | (x << 16)) & jnp.uint32(0x30000FF)
+    x = (x | (x << 8)) & jnp.uint32(0x300F00F)
+    x = (x | (x << 4)) & jnp.uint32(0x30C30C3)
+    x = (x | (x << 2)) & jnp.uint32(0x9249249)
+    return x
+
+
+def _morton_voxel(ijk: jax.Array) -> jax.Array:
+    """3D integer cell coords -> 30-bit Morton (Z-order) key.  Coordinates are
+    clamped to [0, 1024); the caller recenters so the region of interest fits.
+    Unlike ``_hash_voxel`` this is collision-free within range AND
+    locality-preserving: sorting by it leaves nearby cells in nearby array
+    positions, which is what the culled kNN kernel's chunk-AABB test feeds on.
+    """
+    u = jnp.clip(ijk + 512, 0, 1023).astype(jnp.uint32)
+    return (_part1by2(u[..., 0]) | (_part1by2(u[..., 1]) << 1)
+            | (_part1by2(u[..., 2]) << 2))
+
+
 @functools.partial(jax.jit, static_argnames=("cap",))
 def voxel_downsample(
-    points: jax.Array, valid: jax.Array, leaf: jax.Array | float, cap: int
+    points: jax.Array, valid: jax.Array, leaf: jax.Array | float, cap: int,
+    origin: jax.Array | None = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Centroid-per-voxel downsampling (PCL VoxelGrid equivalent).
 
     points: (N, 3), valid: (N,) bool, leaf: scalar edge length.
     Returns (out (cap, 3), out_valid (cap,)).  If more than ``cap`` voxels are
-    occupied the highest-hash voxels are dropped (deterministic).
+    occupied the highest-key voxels are dropped (deterministic).
+
+    ``origin``: when given, voxels key by a Morton code of the cell relative
+    to ``origin`` (clamped to +-512 cells) instead of a spatial hash — the
+    output is then SPATIALLY SORTED (Z-order), which the culled kNN kernel
+    exploits, and the dedup is collision-free within range.
     """
-    ijk = jnp.floor(points / leaf).astype(jnp.int32)
+    ijk = jnp.floor((points - origin if origin is not None else points)
+                    / leaf).astype(jnp.int32)
     # Arithmetic masking throughout: these arrays reach ~0.5M elements in
     # submap assembly, above the axon select-degradation threshold (masking.py).
     # Gathers/scatters carry a large flat cost on this backend, so the sorted
     # channels ride ONE stacked gather and the voxel stats ONE segment_sum.
-    h = masked_fill_u32(_hash_voxel(ijk), valid, 0xFFFFFFFF)
+    key = _morton_voxel(ijk) if origin is not None else _hash_voxel(ijk)
+    h = masked_fill_u32(key, valid, 0xFFFFFFFF)
     order = jnp.argsort(h)
     hs = h[order]
     stacked = jnp.concatenate(

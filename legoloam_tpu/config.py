@@ -195,12 +195,18 @@ class MappingConfig:
     # Dense capacities.  Keyframes store the downsampled current scan, so the
     # per-keyframe cloud caps ARE the scan caps.
     max_keyframes: int = 4096
-    # Submap caps: sized to hold a 50 m-radius submap at the 0.2/0.4 m leaf
-    # sizes with margin; the 5-NN cost in the scan-to-map LM scales linearly
-    # with these, so they are deliberately tight (measured: a 50 m courtyard
-    # submap occupies ~15-20K surf voxels).
-    submap_corner_cap: int = 8192              # downsampled submap sizes fed to LM
-    submap_surf_cap: int = 32768
+    # Submap caps: sized to hold a (search_radius + submap_rebuild_dist)-radius
+    # voxel cache at the 0.2/0.4 m leaf sizes (measured: a 50 m courtyard
+    # submap occupies ~15-20K surf voxels).  Since the scan-to-map kNN culls
+    # far chunks by AABB, oversizing the caps costs almost nothing.
+    submap_corner_cap: int = 12288             # submap cache sizes fed to LM
+    submap_surf_cap: int = 49152
+    # Incremental submap cache: full rebuild (gather + re-voxelize all nearby
+    # keyframes) only when the pose strays this far from the rebuild origin,
+    # the cache is marked stale by a loop correction, or >1 keyframe landed
+    # since the last merge; otherwise each mapping step folds in at most one
+    # new keyframe (weighted-centroid merge — associative, so exact).
+    submap_rebuild_dist: float = 10.0
     scan_corner_cap: int = 2048                # downsampled current-scan sizes
     scan_surf_cap: int = 8192
     voxel_table_size: int = 1 << 17            # hash-table slots for voxel filters

@@ -200,7 +200,13 @@ def slam_scan_step(
         t_aft = jax.tree.map(
             lambda a, b: jnp.where(ldiag.closed, a, b), corrected,
             map_state.t_aft)
-        map_state = map_state._replace(kf=kf, t_aft=t_aft)
+        # A closed loop moves keyframe poses, so the world-frame submap cache
+        # no longer matches the store -> force a rebuild next mapping step
+        # (the reference likewise invalidates its transformed-cloud cache,
+        # mapOptmization.cpp:1456-1478).
+        cache = map_state.cache._replace(
+            stale=map_state.cache.stale | ldiag.closed)
+        map_state = map_state._replace(kf=kf, t_aft=t_aft, cache=cache)
     fused = fusion_mod.fuse(out.pose, map_state.t_bef, map_state.t_aft)
     return SlamState(odom=odom_state, mapping=map_state, loops=loops), \
         SlamOutput(

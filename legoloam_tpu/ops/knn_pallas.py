@@ -123,7 +123,7 @@ def knn_pallas(query: jax.Array, q_valid: jax.Array, ref: jax.Array,
     spatially sorted (``voxel_downsample(..., spatial_order=True)``)."""
     q_n, r_n = query.shape[0], ref.shape[0]
     assert q_n % tq == 0 and r_n % rc == 0, (q_n, tq, r_n, rc)
-    assert r_n <= (1 << 15), r_n   # index packing uses <=15 mantissa bits
+    assert r_n <= (1 << 16), r_n   # index packing uses <=16 mantissa bits
     idx_bits = (r_n - 1).bit_length()
     ref_m = jnp.where(r_valid[:, None], ref, 1e6)
     query_m = jnp.where(q_valid[:, None], query, 2e6)

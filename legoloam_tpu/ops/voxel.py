@@ -63,21 +63,29 @@ def _morton_voxel(ijk: jax.Array) -> jax.Array:
             | (_part1by2(u[..., 2]) << 2))
 
 
-@functools.partial(jax.jit, static_argnames=("cap",))
+@functools.partial(jax.jit, static_argnames=("cap", "return_counts"))
 def voxel_downsample(
     points: jax.Array, valid: jax.Array, leaf: jax.Array | float, cap: int,
-    origin: jax.Array | None = None,
-) -> Tuple[jax.Array, jax.Array]:
+    origin: jax.Array | None = None, return_counts: bool = False,
+    weights: jax.Array | None = None,
+):
     """Centroid-per-voxel downsampling (PCL VoxelGrid equivalent).
 
     points: (N, 3), valid: (N,) bool, leaf: scalar edge length.
-    Returns (out (cap, 3), out_valid (cap,)).  If more than ``cap`` voxels are
-    occupied the highest-key voxels are dropped (deterministic).
+    Returns (out (cap, 3), out_valid (cap,)) — plus per-voxel point counts
+    when ``return_counts``.  If more than ``cap`` voxels are occupied the
+    highest-key voxels are dropped (deterministic).
 
     ``origin``: when given, voxels key by a Morton code of the cell relative
     to ``origin`` (clamped to +-512 cells) instead of a spatial hash — the
     output is then SPATIALLY SORTED (Z-order), which the culled kNN kernel
     exploits, and the dedup is collision-free within range.
+
+    ``weights``: per-point weights for merging pre-aggregated centroids
+    (weight = how many raw points a row already represents); the output is
+    then the weighted centroid and ``counts`` the total weight.  Weighted
+    centroid merging is associative, so incremental submap maintenance is
+    exact.
     """
     ijk = jnp.floor((points - origin if origin is not None else points)
                     / leaf).astype(jnp.int32)
@@ -89,19 +97,24 @@ def voxel_downsample(
     h = masked_fill_u32(key, valid, 0xFFFFFFFF)
     order = jnp.argsort(h)
     hs = h[order]
+    w = valid.astype(points.dtype) if weights is None else \
+        weights * valid.astype(points.dtype)
     stacked = jnp.concatenate(
-        [points, valid.astype(points.dtype)[:, None]], axis=1)[order]
-    ps, vf = stacked[:, :3], stacked[:, 3]
+        [points, valid.astype(points.dtype)[:, None], w[:, None]],
+        axis=1)[order]
+    ps, vf, wf = stacked[:, :3], stacked[:, 3], stacked[:, 4]
     vs = vf > 0.5
     new_group = jnp.concatenate([jnp.array([True]), hs[1:] != hs[:-1]]) & vs
     gid = jnp.cumsum(new_group.astype(jnp.int32)) - 1
     gid = masked_fill(gid, vs & (gid < cap) & (gid >= 0), cap)
     acc = jax.ops.segment_sum(
-        jnp.concatenate([ps * vf[:, None], vf[:, None]], axis=1), gid,
+        jnp.concatenate([ps * wf[:, None], wf[:, None]], axis=1), gid,
         num_segments=cap + 1)[:cap]
     sums, counts = acc[:, :3], acc[:, 3]
     out_valid = counts > 0
-    out = sums / jnp.maximum(counts, 1.0)[:, None]
+    out = sums / jnp.maximum(counts, 1e-9)[:, None]
+    if return_counts:
+        return out * out_valid[:, None], out_valid, counts
     return out * out_valid[:, None], out_valid
 
 

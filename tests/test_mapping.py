@@ -101,3 +101,56 @@ def test_mapping_ignores_far_keyframes():
         kf, jnp.zeros(3), cfg)
     assert int(scv.sum()) == 0
     assert int(ssv.sum()) == 0
+
+
+def test_incremental_cache_matches_rebuild(slam_run):
+    """The incrementally merged submap cache must contain the same voxel
+    centroids a from-scratch rebuild produces (weighted-centroid merging is
+    associative), up to the prune-region difference."""
+    state, *_ = slam_run
+    kf = state.mapping.kf
+    mc = CFG.mapping
+    # The newest keyframe is appended AFTER the merge each step, so the cache
+    # trails by one; fold it in (the incremental path, center == origin).
+    cache = mapping.update_submap_cache(state.mapping.cache, kf,
+                                        state.mapping.cache.origin, mc)
+    assert int(cache.merged) == int(kf.count)
+
+    (rc, rcv, rcc), (rs, rsv, rsc) = mapping.extract_submap(
+        kf, cache.origin, mc, return_counts=True)
+
+    def voxel_dict(pts, val, cnt, leaf):
+        pts, val, cnt = np.asarray(pts), np.asarray(val), np.asarray(cnt)
+        out = {}
+        for p, c in zip(pts[val], cnt[val]):
+            out[tuple(np.floor(p / leaf).astype(int))] = (p, c)
+        return out
+
+    inc = voxel_dict(cache.s_pts, cache.s_valid, cache.s_cnt, mc.surf_leaf)
+    full = voxel_dict(rs, rsv, rsc, mc.surf_leaf)
+    # Every rebuilt voxel within the cache's prune region must exist in the
+    # incremental cache with the same centroid and count.
+    origin = np.asarray(cache.origin)
+    checked = 0
+    for key, (p, c) in full.items():
+        if np.linalg.norm(p - origin) > mc.search_radius:
+            continue
+        assert key in inc, key
+        pi, ci = inc[key]
+        np.testing.assert_allclose(pi, p, atol=2e-4)
+        assert ci == c, (ci, c)
+        checked += 1
+    assert checked > 1000
+
+
+def test_cache_rebuilds_when_stale(slam_run):
+    state, *_ = slam_run
+    mc = CFG.mapping
+    st = state.mapping
+    stale = st.cache._replace(stale=jnp.array(True))
+    new_cache = mapping.update_submap_cache(stale, st.kf, st.t_aft.t, mc)
+    assert not bool(new_cache.stale)
+    assert int(new_cache.merged) == int(st.kf.count)
+    # Rebuild recenters the Morton origin at the given pose.
+    np.testing.assert_allclose(np.asarray(new_cache.origin),
+                               np.asarray(st.t_aft.t), atol=1e-6)

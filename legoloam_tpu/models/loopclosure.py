@@ -33,7 +33,7 @@ from ..config import LoopClosureConfig, PoseGraphConfig
 from ..ops import icp as icp_ops
 from ..ops import se3
 from ..ops.se3 import Pose
-from ..ops.voxel import voxel_downsample
+from ..ops.voxel import voxel_representative
 from . import posegraph
 from .mapping import KeyframeStore
 from .posegraph import LoopFactors
@@ -96,7 +96,12 @@ def _history_cloud(kf: KeyframeStore, center, cfg: LoopClosureConfig):
     val = jnp.concatenate(
         [kf.corner_valid[idxs] & in_range[:, None],
          kf.surf_valid[idxs] & in_range[:, None]], axis=1).reshape(-1)
-    return voxel_downsample(pts, val, cfg.submap_leaf, cfg.hist_cap)
+    # Representative-point dedup instead of exact centroids: the history
+    # cloud is only an ICP TARGET, where duplicates don't change NN
+    # distances and a hash-dropped voxel can only raise (never lower) the
+    # fitness, i.e. acceptance stays conservative.  ~2.5x cheaper on the
+    # 0.5M-point gather.
+    return voxel_representative(pts, val, cfg.submap_leaf, cfg.hist_cap)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "pg_cfg"))

@@ -105,12 +105,12 @@ def odometry_scan_block(
     """Process a BLOCK of B scans sequentially inside one XLA program.
 
     Identical math and results to B calls of ``odometry_scan_step`` — the
-    block exists because the axon TPU runtime charges a flat ~30 ms
-    per-execution overhead for programs of this complexity (measured: a
-    32-iteration lax.scan over a heavy kernel costs the same as 1 iteration),
-    so batching B scans per execution amortizes that cost B-fold.  Streaming
-    (B=1) stays available for latency-critical use; throughput benchmarks and
-    offline mapping use B=8..32.
+    block amortizes the axon per-execution dispatch overhead B-fold.
+    (A vmapped-frontend variant was measured SLOWER on this backend —
+    batched argsort/Pallas passes underperform the sequential in-program
+    loop — so the whole step scans sequentially.)  Streaming (B=1) stays
+    available for latency-critical use; throughput benchmarks and offline
+    mapping use B=8..32.
     """
     def body(st, scan):
         pts, v, r = scan

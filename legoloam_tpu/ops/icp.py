@@ -40,10 +40,21 @@ def icp(
     """Align src onto dst starting from ``init``."""
     max_corr_sq = max_corr_dist * max_corr_dist
 
+    # Packed-minimum Pallas kernel on TPU (one distance pass, index packed
+    # into the f32 mantissa); XLA multi-pass elsewhere.  No gate: the
+    # reference's maxCorrespondenceDistance=100 effectively disables culling.
+    use_pallas = (jax.default_backend() not in ("cpu",)
+                  and src.shape[0] % 256 == 0 and dst.shape[0] % 512 == 0
+                  and dst.shape[0] <= (1 << 16))
+
     def corr_stats(T: Pose):
         moved = jnp.einsum("ij,nj->ni", T.R, src) + T.t
-        d, i = knn(moved, src_valid, dst, dst_valid, k=1,
-                   q_tile=512, r_tile=8192)
+        if use_pallas:
+            from .knn_pallas import knn_pallas
+            d, i = knn_pallas(moved, src_valid, dst, dst_valid, k=1)
+        else:
+            d, i = knn(moved, src_valid, dst, dst_valid, k=1,
+                       q_tile=512, r_tile=8192)
         match = src_valid & (d[:, 0] < max_corr_sq)
         return moved, dst[i[:, 0]], match, d[:, 0]
 

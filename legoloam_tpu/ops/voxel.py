@@ -153,6 +153,32 @@ def voxel_downsample_with_payload(
     return out, outp, out_valid
 
 
+@functools.partial(jax.jit, static_argnames=("cap",))
+def voxel_representative(
+    points: jax.Array, valid: jax.Array, leaf: jax.Array | float, cap: int
+) -> Tuple[jax.Array, jax.Array]:
+    """One representative POINT per voxel via a ``cap``-slot hash table and a
+    single scatter-min (deterministic: lowest input index wins).
+
+    Approximate where ``voxel_downsample`` is exact — hash collisions drop one
+    of the colliding voxels entirely — but ~2-3x cheaper at >100K inputs (no
+    sort, no reorder gather, no segment sum).  Intended for consumers where
+    voxel dedup only BOUNDS SIZE, e.g. an ICP target cloud: nearest-neighbor
+    distances are unchanged by duplicates, and a dropped voxel can only raise
+    the fitness score (conservative for loop-closure acceptance,
+    mapOptmization.cpp:904)."""
+    assert cap & (cap - 1) == 0, cap   # power of two
+    n = points.shape[0]
+    slot = (_hash_voxel(jnp.floor(points / leaf).astype(jnp.int32))
+            & jnp.uint32(cap - 1)).astype(jnp.int32)
+    slot = masked_fill(slot, valid, cap)
+    rep = jnp.full((cap + 1,), n, jnp.int32).at[slot].min(
+        jnp.arange(n, dtype=jnp.int32))[:cap]
+    ok = rep < n
+    out = points[jnp.where(ok, rep, 0)]
+    return out * ok[:, None], ok
+
+
 BIG = jnp.float32(1e30)
 
 

@@ -23,19 +23,36 @@ def timed_block(fn, args, block, iters, donate=False):
     """Run `fn(*args)` `block` times inside one jitted lax.scan program,
     execute `iters` times, return per-call ms."""
 
+    import numpy as np
+
+    def sync(x):
+        """jax.block_until_ready is a NO-OP on the axon backend; fetching a
+        value to the host is the only reliable barrier."""
+        np.asarray(jax.tree.leaves(x)[0]).ravel()[:1]
+
     @jax.jit
     def prog(args):
+        # Chain a (numerically negligible) dependency through the scan so
+        # XLA cannot hoist the loop-invariant body and compute it once.
         def body(c, _):
-            return c, fn(*args)
-        _, outs = jax.lax.scan(body, 0, None, length=block)
+            nudged = jax.tree.map(
+                lambda x: x + c.astype(x.dtype) if jnp.issubdtype(
+                    x.dtype, jnp.floating) else x, tuple(args))
+            out = fn(*nudged)
+            floats = [x for x in jax.tree.leaves(out)
+                      if jnp.issubdtype(x.dtype, jnp.floating)]
+            leaf = floats[0] if floats else \
+                jax.tree.leaves(out)[0].astype(jnp.float32)
+            return leaf.ravel()[0] * 1e-30, out
+        _, outs = jax.lax.scan(body, jnp.float32(0.0), None, length=block)
         return outs
 
     out = prog(args)
-    jax.block_until_ready(out)
+    sync(out)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = prog(args)
-    jax.block_until_ready(out)
+    sync(out)
     dt = (time.perf_counter() - t0) / (iters * block)
     return dt * 1e3
 

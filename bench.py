@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""Benchmark: scans/sec of the flagship fused frontend+odometry step.
+"""Benchmark: scans/sec of the full SLAM pipeline (default) or odometry only.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "scans/sec", "vs_baseline": N}
@@ -8,10 +8,15 @@ Baseline = 10 scans/s — the VLP-16's 10 Hz rotation rate, i.e. the real-time
 bound the reference is built against (README.md:106, utility.h:107).
 vs_baseline is the real-time multiple; BASELINE.json targets > 10x.
 
+The default (headline) path is the COMPLETE system: frontend + two-step LM
+odometry every scan, scan-to-map optimization + keyframing at the reference
+cadence (every 3rd scan = mappingProcessInterval 0.3 s), fusion every scan.
+
 Usage:
-  python bench.py                 # real device (TPU under axon), odometry path
+  python bench.py                 # full SLAM step (odometry+mapping+fusion)
+  python bench.py --odometry      # odometry-only block throughput
+  python bench.py --loop          # full SLAM + ICP loop closure cadence
   python bench.py --backend cpu   # force CPU (debug)
-  python bench.py --mapping       # full SLAM step cadence (odometry+mapping)
 """
 
 import argparse
@@ -23,13 +28,20 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--backend", default=None, help="cpu to force CPU")
     ap.add_argument("--scans", type=int, default=60)
-    ap.add_argument("--warmup", type=int, default=8)
+    # Warmup must reach every static step variant (mapping every 3rd scan,
+    # loop closure every 10th) so no compile lands inside the timed window.
+    ap.add_argument("--warmup", type=int, default=12)
     ap.add_argument("--block", type=int, default=12,
                     help="scans per program execution (amortizes the axon "
                          "per-execution overhead; 1 = pure streaming)")
+    ap.add_argument("--odometry", action="store_true",
+                    help="bench the odometry-only path (no mapping)")
     ap.add_argument("--mapping", action="store_true",
-                    help="bench the full SLAM cadence incl. scan-to-map")
+                    help="(default) full SLAM cadence incl. scan-to-map")
+    ap.add_argument("--loop", action="store_true",
+                    help="full SLAM + loop-closure cadence (every 10th scan)")
     args = ap.parse_args()
+    args.mapping = not args.odometry
 
     import jax
     if args.backend:
@@ -55,13 +67,19 @@ def main():
         scans.append(jax.tree.map(jax.device_put, s))
     jax.block_until_ready(scans)
 
+    if args.loop:
+        import dataclasses
+        cfg = dataclasses.replace(
+            cfg, loop=dataclasses.replace(cfg.loop, enabled=True))
+
     if args.mapping:
         state = pipeline.init_slam_state(cfg)
 
         def step(state, scan, k):
             return pipeline.slam_scan_step(
                 state, *scan, cfg, float(k) * 0.1,
-                run_mapping=(k % cfg.mapping_every == 0))
+                run_mapping=(k % cfg.mapping_every == 0),
+                run_loop=args.loop and k % 10 == 0 and k > 0)
 
         scans_per_step = 1
     else:
@@ -105,7 +123,9 @@ def main():
     dt = time.perf_counter() - t0
 
     scans_per_sec = n_steps * scans_per_step / dt
-    name = "slam_scans_per_sec" if args.mapping else "odometry_scans_per_sec"
+    name = ("slam_loop_scans_per_sec" if args.loop else
+            "slam_scans_per_sec" if args.mapping else
+            "odometry_scans_per_sec")
     dev = jax.devices()[0].platform
     print(json.dumps({
         "metric": f"{name} (VLP-16 synthetic, {dev})",

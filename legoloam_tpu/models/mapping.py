@@ -309,6 +309,7 @@ def scan_to_map(
     surf: jax.Array, surf_valid: jax.Array,
     sub_c, sub_cv, sub_s, sub_sv,
     cfg: MappingConfig,
+    reduce_fn=None,
 ):
     """Reference scan2MapOptimization (mapOptmization.cpp:1329-1350).
 
@@ -318,7 +319,13 @@ def scan_to_map(
     geometry is frozen in between — the same lagged-correspondence idiom the
     reference itself uses in odometry (featureAssociation.cpp:1163, re-search
     every 5th iteration).  Residual distances and robust weights are still
-    recomputed from the CURRENT pose every iteration."""
+    recomputed from the CURRENT pose every iteration.
+
+    ``reduce_fn``: cross-device sum hook (e.g. ``lax.psum`` inside a
+    shard_map) applied to residual counts and the assembled 6x6 normal
+    equations — with the scan point axis sharded over a mesh and the submap
+    replicated, every device solves the identical reduced system and the
+    result matches the single-device solve exactly."""
     map_ok = (jnp.sum(sub_cv) >= cfg.min_corner_map) & (
         jnp.sum(sub_sv) >= cfg.min_surf_map)
 
@@ -352,19 +359,25 @@ def scan_to_map(
         dir_all = jnp.concatenate([cdir, sdir], axis=0)
         res_all = jnp.concatenate([cres, sres], axis=0)
         ok_all = jnp.concatenate([c_ok, s_ok], axis=0)
-        enough = jnp.sum(ok_all) >= cfg.min_residuals   # mapOptmization.cpp:1238
+        n_c_ok = jnp.sum(c_ok)
+        n_s_ok = jnp.sum(s_ok)
+        if reduce_fn is not None:
+            n_c_ok, n_s_ok = reduce_fn(n_c_ok), reduce_fn(n_s_ok)
+        enough = (n_c_ok + n_s_ok) >= cfg.min_residuals  # mapOptmization.cpp:1238
         J = jnp.concatenate([jnp.cross(p_all, dir_all), dir_all], axis=1)
-        delta, deg = lm.solve_normal_equations(
-            J, res_all, ok_all & enough, 1.0, deg, i == 0,
-            cfg.degeneracy_eig_thresh)
+        AtA, AtB = lm.assemble_normal_equations(J, res_all, ok_all & enough,
+                                                1.0)
+        if reduce_fn is not None:
+            AtA, AtB = reduce_fn(AtA), reduce_fn(AtB)
+        delta, deg = lm.solve_assembled(AtA, AtB, deg, i == 0,
+                                        cfg.degeneracy_eig_thresh)
         T_new = se3.retract(T, delta)
         T = jax.tree.map(lambda a, b: jnp.where(enough, a, b), T_new, T)
         rot_deg = jnp.degrees(jnp.linalg.norm(delta[:3]))
         t_cm = jnp.linalg.norm(delta[3:]) * 100.0
         done = ((rot_deg < cfg.conv_rot_deg) & (t_cm < cfg.conv_trans_cm)) \
             | ~enough
-        return (i + 1, T, deg, done, geom, jnp.sum(c_ok), jnp.sum(s_ok),
-                enough)
+        return (i + 1, T, deg, done, geom, n_c_ok, n_s_ok, enough)
 
     geom0 = _CorrGeom(
         c_t1=jnp.zeros((nc, 3)), c_t2=jnp.ones((nc, 3)),

@@ -55,26 +55,28 @@ def analyze_degeneracy(AtA: jax.Array, eig_thresh: float) -> DegeneracyState:
     return DegeneracyState(P=P, is_degenerate=jnp.any(~keep))
 
 
-def solve_normal_equations(
-    J: jax.Array,
-    r: jax.Array,
-    row_valid: jax.Array,
-    damping: float,
+def assemble_normal_equations(
+    J: jax.Array, r: jax.Array, row_valid: jax.Array, damping: float,
+) -> Tuple[jax.Array, jax.Array]:
+    """(N, D) row Jacobians + residuals -> (AtA (D, D), AtB (D,)).
+
+    Normal-equation assembly is a SUM over residual rows, so sharding the row
+    axis over a mesh and ``psum``-ing the outputs is exactly equivalent to the
+    single-device assembly — this split is the distributed-mapping hook."""
+    Jm = jnp.where(row_valid[:, None], J, 0.0)
+    rm = jnp.where(row_valid, r, 0.0)
+    return Jm.T @ Jm, Jm.T @ (-damping * rm)
+
+
+def solve_assembled(
+    AtA: jax.Array,
+    AtB: jax.Array,
     deg: DegeneracyState,
     update_degeneracy: jax.Array,
     eig_thresh: float,
 ) -> Tuple[jax.Array, DegeneracyState]:
-    """One damped GN step:  δ = P · (JᵀJ)⁻¹ Jᵀ(−damping·r).
-
-    J: (N, D) row Jacobians (already robust-weighted), r: (N,) residuals,
-    row_valid masks dead rows.  ``update_degeneracy`` (scalar bool) refreshes
-    the degeneracy projection from this iteration's JᵀJ (the reference does so
-    on iteration 0 only).
-    """
-    Jm = jnp.where(row_valid[:, None], J, 0.0)
-    rm = jnp.where(row_valid, r, 0.0)
-    AtA = Jm.T @ Jm
-    AtB = Jm.T @ (-damping * rm)
+    """Solve pre-assembled (possibly psum-reduced) normal equations with the
+    reference's degeneracy projection."""
     # The eigendecomposition only happens on the refresh iteration (the
     # reference computes it on iteration 0 only).  With a statically unrolled
     # caller the flag is a Python bool and the branch resolves at trace time;
@@ -102,6 +104,26 @@ def solve_normal_equations(
     delta = jnp.where(deg.is_degenerate, deg.P @ delta, delta)
     delta = jnp.where(jnp.isfinite(delta), delta, 0.0)  # NaN guard (ref: 1362)
     return delta, deg
+
+
+def solve_normal_equations(
+    J: jax.Array,
+    r: jax.Array,
+    row_valid: jax.Array,
+    damping: float,
+    deg: DegeneracyState,
+    update_degeneracy: jax.Array,
+    eig_thresh: float,
+) -> Tuple[jax.Array, DegeneracyState]:
+    """One damped GN step:  δ = P · (JᵀJ)⁻¹ Jᵀ(−damping·r).
+
+    J: (N, D) row Jacobians (already robust-weighted), r: (N,) residuals,
+    row_valid masks dead rows.  ``update_degeneracy`` (scalar bool) refreshes
+    the degeneracy projection from this iteration's JᵀJ (the reference does so
+    on iteration 0 only).
+    """
+    AtA, AtB = assemble_normal_equations(J, r, row_valid, damping)
+    return solve_assembled(AtA, AtB, deg, update_degeneracy, eig_thresh)
 
 
 def point_to_plane(

@@ -103,8 +103,10 @@ def extract_submap_sharded(
             pts = cloud[sel]
             v = valid[sel] & sel_ok[:, None]
             world = jnp.einsum("sij,scj->sci", R[sel], pts) + t[sel][:, None]
+            # Morton origin: each shard's slice of the concatenated submap is
+            # then spatially sorted, which the culled kNN kernel exploits.
             return voxel_downsample(world.reshape(-1, 3), v.reshape(-1),
-                                    leaf, cap)
+                                    leaf, cap, origin=ctr)
 
         sub_c, sub_cv = gather(corner, corner_valid, c_cap, cfg.corner_leaf)
         sub_s, sub_sv = gather(surf, surf_valid, s_cap, cfg.surf_leaf)
@@ -119,3 +121,42 @@ def extract_submap_sharded(
     c, cv, s, sv = solve(kf.t, kf.R, kf.corner, kf.corner_valid,
                          kf.surf, kf.surf_valid, kf.count, center)
     return (c, cv), (s, sv)
+
+
+def scan_to_map_sharded(
+    guess, corner, corner_valid, surf, surf_valid,
+    sub_c, sub_cv, sub_s, sub_sv,
+    cfg: MappingConfig, mesh: Mesh, axis: str = "data",
+):
+    """Distributed ``mapping.scan_to_map``: the residual-row (scan point)
+    axis shards over the mesh, the submap stays replicated, and each LM
+    iteration ``psum``s the residual counts + assembled 6x6 normal equations
+    so every device applies the identical pose update.  Exactly the
+    batch-parallel-LM row of SURVEY.md §2's parallelism inventory.
+
+    Returns (pose, iters, n_corner, n_surf) replicated — matching the
+    single-device ``scan_to_map`` output bit-for-bit up to f32 reduction
+    order."""
+    from ..models import mapping as mapping_mod
+    from ..ops.se3 import Pose
+
+    qspec = P(axis)
+    rspec = P()
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=((rspec, rspec), qspec, qspec, qspec, qspec,
+                  rspec, rspec, rspec, rspec),
+        out_specs=((rspec, rspec), rspec, rspec, rspec),
+        check_vma=False,
+    )
+    def solve(g, c, cv, s, sv, sc, scv, ss, ssv):
+        red = lambda x: jax.lax.psum(x, axis)
+        T, iters, n_c, n_s = mapping_mod.scan_to_map(
+            Pose(*g), c, cv, s, sv, sc, scv, ss, ssv, cfg, reduce_fn=red)
+        return (T.R, T.t), iters, n_c, n_s
+
+    (R_out, t_out), iters, n_c, n_s = solve(
+        (guess.R, guess.t), corner, corner_valid, surf, surf_valid,
+        sub_c, sub_cv, sub_s, sub_sv)
+    return Pose(R_out, t_out), iters, n_c, n_s

@@ -139,3 +139,69 @@ def test_sharded_submap_matches_single_device():
     k8 = keys(ss8, ssv8)
     inter = len(k1 & k8) / max(len(k1 | k8), 1)
     assert inter > 0.95, f"submap voxel overlap only {inter:.2f}"
+
+
+def test_sharded_scan_to_map_matches_single_device():
+    """scan_to_map with the residual axis sharded + psum'd normal equations
+    must recover the same pose as the single-device solve."""
+    from legoloam_tpu.models import mapping
+    from legoloam_tpu.parallel import mapping_dist
+
+    cfg = dataclasses.replace(
+        DEFAULT.mapping, scan_corner_cap=512, scan_surf_cap=2048,
+        submap_corner_cap=4096, submap_surf_cap=8192, knn_backend="xla")
+
+    key = jax.random.PRNGKey(7)
+    # Submap: gently curved floor + wall surfaces + a line of poles.  Curved
+    # (not flat) so every DOF appears in the surf residuals, gridded so the
+    # local plane fits are clean; surfaces keep away from the origin (the
+    # reference's plane fit solves A·n = -1, mapOptmization.cpp:1184-1189,
+    # which cannot represent d = 0 planes).
+    ks = jax.random.split(key, 6)
+    gx, gy = jnp.meshgrid(jnp.linspace(0.0, 30.0, 64),
+                          jnp.linspace(0.0, 30.0, 64))
+    gz = -1.3 + 0.4 * jnp.sin(0.25 * gx.ravel()) * jnp.cos(0.2 * gy.ravel())
+    floor = jnp.stack([gx.ravel(), gy.ravel(), gz], axis=1)
+    wx, wz = jnp.meshgrid(jnp.linspace(0.0, 30.0, 64),
+                          jnp.linspace(0.0, 4.0, 32))
+    wy = -8.0 + 0.3 * jnp.sin(0.3 * wx.ravel())
+    wall = jnp.stack([wx.ravel(), wy, wz.ravel()], axis=1)
+    sub_s = jnp.concatenate([floor, wall, jnp.zeros((2048, 3))], axis=0)
+    sub_sv = jnp.arange(8192) < 6144
+    poles_z = jax.random.uniform(ks[3], (2048, 1)) * 4.0
+    poles_x = jnp.floor(jax.random.uniform(ks[4], (2048, 1)) * 8) * 4.0 + 1.0
+    sub_c = jnp.concatenate([poles_x, jnp.full((2048, 1), 5.0), poles_z],
+                            axis=1)
+    sub_c = jnp.concatenate([sub_c, jnp.zeros((2048, 3))], axis=0)
+    sub_cv = jnp.arange(4096) < 2048
+
+    # Current scan: subsample of the map, perturbed by a small known pose.
+    true_xi = jnp.array([0.004, -0.006, 0.005, 0.04, -0.05, 0.02])
+    T_true = se3.se3_exp(true_xi)
+    corner = se3.transform_points(se3.inverse(T_true), sub_c[:512])
+    corner_valid = sub_cv[:512]
+    surf = se3.transform_points(se3.inverse(T_true), sub_s[:2048])
+    surf_valid = sub_sv[:2048]
+
+    guess = Pose(jnp.eye(3), jnp.zeros(3))
+    T1, it1, nc1, ns1 = mapping.scan_to_map(
+        guess, corner, corner_valid, surf, surf_valid,
+        sub_c, sub_cv, sub_s, sub_sv, cfg)
+
+    m = mesh_mod.make_mesh(8)
+    T8, it8, nc8, ns8 = mapping_dist.scan_to_map_sharded(
+        guess, corner, corner_valid, surf, surf_valid,
+        sub_c, sub_cv, sub_s, sub_sv, cfg, m)
+
+    # f32 psum reduction order can flip borderline residual gates and the
+    # differences compound over the 10 LM iterations, so agreement is
+    # approximate (measured ~5 mm worst case on this scene).
+    assert abs(int(it1) - int(it8)) <= 1
+    assert abs(int(nc1) - int(nc8)) <= 5
+    assert abs(int(ns1) - int(ns8)) <= 30
+    np.testing.assert_allclose(np.asarray(T8.t), np.asarray(T1.t), atol=1e-2)
+    np.testing.assert_allclose(np.asarray(T8.R), np.asarray(T1.R), atol=1e-3)
+    # Height is the cleanly observed DOF on this subsampled scene (x/y stall
+    # within the 0.47 m lattice aliasing, a known point-to-plane/line ICP
+    # property; dense raycast scans in test_mapping validate full accuracy).
+    assert abs(float(T1.t[2]) - float(T_true.t[2])) < 0.05

@@ -173,12 +173,13 @@ class MappingConfig:
     search_num: int = 50                       # surroundingKeyframeSearchNum
     max_iterations: int = 10                   # mapOptmization.cpp:1341
     # Correspondence refresh cadence inside the scan-to-map LM.  The reference
-    # re-searches 5-NN every iteration (=1); 2 halves the dominant kNN cost by
-    # freezing the fitted line/plane geometry for one extra GN step — the same
+    # re-searches 5-NN every iteration (=1); freezing the fitted line/plane
+    # geometry between refreshes cuts the dominant kNN cost — the same
     # lagged-correspondence idiom the reference uses in odometry
-    # (featureAssociation.cpp:1163, every 5th).  Measured ATE-equivalent on the
-    # synthetic courtyard sequences.
-    corr_refresh_every: int = 2
+    # (featureAssociation.cpp:1163, every 5th).  Measured ATE-equivalent at
+    # 1/2/3 on the synthetic courtyard runs (0.019 m each); LM wall time
+    # 63 -> 31 -> 10 -> 6.6 ms across the kernel + refresh work.
+    corr_refresh_every: int = 3
     min_corner_map: int = 10                   # mapOptmization.cpp:1331
     min_surf_map: int = 100
     min_residuals: int = 50                    # mapOptmization.cpp:1238

@@ -74,6 +74,10 @@ class SubmapCache(NamedTuple):
     origin: jax.Array    # (3,) Morton origin = pose at last rebuild
     merged: jax.Array    # () int32: keyframes folded in so far
     stale: jax.Array     # () bool: loop correction moved keyframes -> rebuild
+    prune_r: jax.Array   # () adaptive prune radius: shrinks when the voxel
+                         # census approaches the cap so overflow drops FAR
+                         # voxels (by radius) instead of a Morton-biased
+                         # corner of the map, recovers when occupancy falls
 
 
 class MapState(NamedTuple):
@@ -117,6 +121,7 @@ def init_state(cfg: MappingConfig) -> MapState:
         origin=jnp.zeros((3,)),
         merged=jnp.int32(0),
         stale=jnp.array(True),
+        prune_r=jnp.float32(cfg.search_radius + cfg.submap_rebuild_dist),
     )
     return MapState(kf=kf, cache=cache, t_bef=Pose.identity(),
                     t_aft=Pose.identity(), initialized=jnp.array(False))
@@ -172,7 +177,7 @@ def update_submap_cache(cache: SubmapCache, kf: KeyframeStore,
     behind = (kf.count - cache.merged) > 1
     needs_rebuild = cache.stale | moved | behind
 
-    prune_r2 = (cfg.search_radius + cfg.submap_rebuild_dist) ** 2
+    max_prune = cfg.search_radius + cfg.submap_rebuild_dist
 
     def rebuild():
         (c, cv, cc), (s, sv, sc) = extract_submap(kf, center, cfg,
@@ -180,12 +185,14 @@ def update_submap_cache(cache: SubmapCache, kf: KeyframeStore,
         return SubmapCache(c_pts=c, c_cnt=cc, c_valid=cv,
                            s_pts=s, s_cnt=sc, s_valid=sv,
                            origin=center, merged=kf.count,
-                           stale=jnp.array(False))
+                           stale=jnp.array(False),
+                           prune_r=jnp.float32(max_prune))
 
     def incremental():
         idx = jnp.minimum(cache.merged, kf.t.shape[0] - 1)
         has_new = cache.merged < kf.count
         R, t = kf.R[idx], kf.t[idx]
+        prune_r2 = cache.prune_r ** 2
 
         def merge(cached_pts, cached_cnt, cached_valid, cloud, cloud_valid,
                   leaf, cap):
@@ -206,12 +213,25 @@ def update_submap_cache(cache: SubmapCache, kf: KeyframeStore,
         s, sv, sc = merge(cache.s_pts, cache.s_cnt, cache.s_valid,
                           kf.surf[idx], kf.surf_valid[idx],
                           cfg.surf_leaf, cfg.submap_surf_cap)
+        # Adapt the prune radius from voxel occupancy: when either channel
+        # nears its cap, overflow would drop the HIGHEST Morton keys — a
+        # spatially biased corner of the map.  Shrinking the radius instead
+        # discards the farthest voxels (rotationally fair) and backs off
+        # before overflow triggers; it recovers toward the maximum when
+        # occupancy falls.  Never shrinks inside the kNN search radius.
+        occ = jnp.maximum(jnp.sum(cv) / float(cfg.submap_corner_cap),
+                          jnp.sum(sv) / float(cfg.submap_surf_cap))
+        new_r = jnp.where(occ > 0.9, cache.prune_r * 0.95,
+                          jnp.minimum(cache.prune_r * 1.02,
+                                      jnp.float32(max_prune)))
+        new_r = jnp.maximum(new_r, jnp.float32(cfg.search_radius))
         return SubmapCache(c_pts=c, c_cnt=cc, c_valid=cv,
                            s_pts=s, s_cnt=sc, s_valid=sv,
                            origin=cache.origin,
                            merged=cache.merged
                            + jnp.where(has_new, 1, 0).astype(jnp.int32),
-                           stale=jnp.array(False))
+                           stale=jnp.array(False),
+                           prune_r=new_r.astype(jnp.float32))
 
     return jax.lax.cond(needs_rebuild, rebuild, incremental)
 

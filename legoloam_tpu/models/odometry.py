@@ -271,9 +271,14 @@ def odometry_step(
 
     # publishCloudsLast (featureAssociation.cpp:1759-1815): warp this scan's
     # broad feature sets to scan end; they become the next scan's reference.
-    last_corner = _warp_to_end(xi, feats.less_sharp)
-    last_surf = _warp_to_end(xi, feats.less_flat)
-    last_outlier = _warp_to_end(xi, feats.outlier)
+    # The warp twist is damped toward the previous scan's twist (see
+    # OdometryConfig.warp_blend) to break the estimation-error feedback
+    # oscillation the reference's own-transform warp creates.
+    xi_warp = cfg.warp_blend * xi + (1.0 - cfg.warp_blend) * state.xi
+    xi_warp = jnp.where(state.initialized, xi_warp, xi)
+    last_corner = _warp_to_end(xi_warp, feats.less_sharp)
+    last_surf = _warp_to_end(xi_warp, feats.less_flat)
+    last_outlier = _warp_to_end(xi_warp, feats.outlier)
 
     new_state = OdometryState(
         pose=new_pose,

@@ -1,0 +1,100 @@
+#!/usr/bin/env python
+"""Long-horizon SLAM evaluation on the attached device.
+
+Runs N synthetic scans (raycast against the courtyard world with exact ground
+truth) through the full pipeline and reports ATE RMSE for odometry-only,
+odometry+mapping (fused), and optionally +loop closure — the BASELINE.json
+config 2/3/4 evidence in a world where no reference datasets ship.
+
+Usage: python tools/eval_long.py [--scans 500] [--loop] [--imu]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scans", type=int, default=500)
+    ap.add_argument("--loop", action="store_true")
+    ap.add_argument("--imu", action="store_true",
+                    help="feed synthetic IMU (de-skew + initial guess)")
+    ap.add_argument("--backend", default=None)
+    ap.add_argument("--radius", type=float, default=26.0)
+    ap.add_argument("--angular-rate", type=float, default=0.009)
+    args = ap.parse_args()
+    if args.backend:
+        jax.config.update("jax_platforms", args.backend)
+
+    import dataclasses
+
+    from legoloam_tpu.config import DEFAULT
+    from legoloam_tpu.models import pipeline
+    from legoloam_tpu.ops.se3 import Pose
+    from legoloam_tpu.utils import metrics, synthetic
+
+    cfg = DEFAULT
+    if args.loop:
+        cfg = dataclasses.replace(
+            cfg, loop=dataclasses.replace(cfg.loop, enabled=True))
+
+    scene = synthetic.default_scene()
+    n = args.scans
+    poses = synthetic.circle_trajectory(n + 1, radius=args.radius,
+                                        angular_rate=args.angular_rate)
+
+    integ = None
+    if args.imu:
+        from legoloam_tpu.ops import deskew
+        ts, rpy, acc, gyro = synthetic.make_imu(poses, scan_period=0.1)
+        w = deskew.ImuWindow(time=ts, rpy=rpy, acc=acc, gyro=gyro,
+                             valid=jnp.ones(ts.shape[0], bool))
+        integ = deskew.integrate_imu(w)
+
+    ray = jax.jit(lambda pk_R, pk_t, nx_R, nx_t: synthetic.raycast_scan(
+        scene, Pose(pk_R, pk_t), cfg.sensor,
+        next_pose=Pose(nx_R, nx_t), motion=True))
+
+    state = pipeline.init_slam_state(cfg)
+    fused, odoms = [], []
+    t0 = time.perf_counter()
+    for k in range(n):
+        pts, valid, ring = ray(poses.R[k], poses.t[k],
+                               poses.R[k + 1], poses.t[k + 1])
+        state, out = pipeline.slam_scan_step(
+            state, pts, valid, ring, cfg, 0.1 * k,
+            run_mapping=(k % cfg.mapping_every == 0),
+            run_loop=args.loop and k % 10 == 0 and k > 0,
+            imu_integral=integ)
+        if (k + 1) % 100 == 0:
+            np.asarray(out.fused_pose.t)   # host sync, keeps queue bounded
+            print(f"  scan {k + 1}/{n}  ({(k + 1) / (time.perf_counter() - t0):.1f} scans/s incl. raycast)",
+                  flush=True)
+        fused.append(out.fused_pose.t)
+        odoms.append(out.odom_pose.t)
+    fused = np.asarray(jnp.stack(fused))
+    odoms = np.asarray(jnp.stack(odoms))
+    gt = np.asarray(poses.t)[:n]
+
+    ate_f = float(metrics.ate_rmse(jnp.asarray(fused), jnp.asarray(gt)))
+    ate_o = float(metrics.ate_rmse(jnp.asarray(odoms), jnp.asarray(gt)))
+    kf = int(state.mapping.kf.count)
+    drift_f = float(np.linalg.norm(fused[-1] - gt[-1]))
+    drift_o = float(np.linalg.norm(odoms[-1] - gt[-1]))
+    path_len = float(np.sum(np.linalg.norm(np.diff(gt, axis=0), axis=1)))
+    print(f"scans {n}, keyframes {kf}, path {path_len:.0f} m")
+    print(f"ATE RMSE  odometry-only: {ate_o:.4f} m   fused: {ate_f:.4f} m")
+    print(f"end drift odometry-only: {drift_o:.4f} m ({100 * drift_o / path_len:.3f}%)"
+          f"   fused: {drift_f:.4f} m ({100 * drift_f / path_len:.3f}%)")
+
+
+if __name__ == "__main__":
+    main()

@@ -77,6 +77,42 @@ def default_scene() -> Scene:
     return Scene(boxes=jnp.asarray(boxes), cylinders=jnp.asarray(cyl))
 
 
+def loop_scene() -> Scene:
+    """A large block designed for LONG trajectories: a collision-free ring
+    lane of radius ~30 m around (0, 30) — matching ``circle_trajectory``,
+    which circles through (0, 0) -> (0, 2r) — with buildings inside and
+    outside the lane and poles alongside it, so every scan sees both planar
+    and edge features.  ``default_scene``'s 50x40 m courtyard cannot host a
+    full revisit loop (a radius > ~8 m circle clips its walls/buildings)."""
+    cx, cy = 0.0, 30.0
+    boxes = [
+        # Perimeter walls, 90 x 90 m, 4 m tall
+        [-45.0, -15.0, 0.0, 45.0, -14.6, 4.0],
+        [-45.0, 74.6, 0.0, 45.0, 75.0, 4.0],
+        [-45.0, -15.0, 0.0, -44.6, 75.0, 4.0],
+        [44.6, -15.0, 0.0, 45.0, 75.0, 4.0],
+        # Central block (inside the lane, r < 20 from the lane center)
+        [cx - 9.0, cy - 8.0, 0.0, cx + 9.0, cy + 8.0, 6.0],
+        [cx - 16.0, cy + 10.0, 0.0, cx - 10.0, cy + 16.0, 4.0],
+        [cx + 10.0, cy - 17.0, 0.0, cx + 17.0, cy - 10.0, 5.0],
+        # Outer-corner buildings (outside the lane, r > 38)
+        [-43.0, -13.0, 0.0, -32.0, -2.0, 5.0],
+        [32.0, -13.0, 0.0, 43.0, -4.0, 4.5],
+        [-43.0, 62.0, 0.0, -33.0, 73.0, 5.5],
+        [31.0, 63.0, 0.0, 43.0, 73.0, 4.0],
+    ]
+    # Poles flanking the lane: rings at r=23 and r=37 from the lane center,
+    # every 30 deg (offset half a step on the outer ring).
+    cyl = []
+    for k in range(12):
+        a = np.radians(30.0 * k)
+        cyl.append([cx + 23.0 * np.cos(a), cy + 23.0 * np.sin(a), 0.18, 5.0])
+        b = a + np.radians(15.0)
+        cyl.append([cx + 37.0 * np.cos(b), cy + 37.0 * np.sin(b), 0.18, 5.0])
+    return Scene(boxes=jnp.asarray(np.array(boxes, np.float32)),
+                 cylinders=jnp.asarray(np.array(cyl, np.float32)))
+
+
 def _ray_ground(o, d):
     """Intersection with plane z=0; +inf if none."""
     s = -o[2] / jnp.where(jnp.abs(d[2]) < 1e-9, 1e-9, d[2])

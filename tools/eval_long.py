@@ -28,9 +28,16 @@ def main():
     ap.add_argument("--imu", action="store_true",
                     help="feed synthetic IMU (de-skew + initial guess)")
     ap.add_argument("--backend", default=None)
-    ap.add_argument("--radius", type=float, default=26.0)
+    ap.add_argument("--world", default="courtyard",
+                    choices=["courtyard", "loop"],
+                    help="courtyard: 50x40 m block (stay <= ~120 scans at the"
+                         " default radius or the path exits the walls); loop:"
+                         " 90x90 m ring world built for full revisit laps")
+    ap.add_argument("--radius", type=float, default=None)
     ap.add_argument("--angular-rate", type=float, default=0.009)
     args = ap.parse_args()
+    if args.radius is None:
+        args.radius = 30.0 if args.world == "loop" else 26.0
     if args.backend:
         jax.config.update("jax_platforms", args.backend)
 
@@ -46,7 +53,8 @@ def main():
         cfg = dataclasses.replace(
             cfg, loop=dataclasses.replace(cfg.loop, enabled=True))
 
-    scene = synthetic.default_scene()
+    scene = (synthetic.loop_scene() if args.world == "loop"
+             else synthetic.default_scene())
     n = args.scans
     poses = synthetic.circle_trajectory(n + 1, radius=args.radius,
                                         angular_rate=args.angular_rate)

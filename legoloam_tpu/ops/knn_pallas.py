@@ -70,9 +70,18 @@ def _knn_kernel(qT_ref, qsq_ref, refT_ref, rsq_ref, lo_ref, hi_ref,
         def _():
             refc = refT_ref[:, pl.ds(c * rc, rc)]        # (3, RC)
             rsqc = rsq_ref[:, pl.ds(c * rc, rc)]         # (1, RC)
+            # precision=HIGHEST is load-bearing: the MXU's default bf16
+            # truncation of f32 inputs puts ~0.4% relative error on q·r,
+            # and the ||q||² - 2q·r + ||r||² decomposition cancels
+            # catastrophically — at 60 m from the origin q·r ~ 3600 m², so
+            # bf16 injects multi-m² noise into NEAR-neighbor distances and
+            # the 5-NN sets are wrong (this silently diverged the whole
+            # mapping pipeline; XLA's own K=3 matmuls lower to full-f32 VPU
+            # code, which is why the non-Pallas path was unaffected).
             prod = jax.lax.dot_general(
                 qT, refc, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)       # (TQ, RC)
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)      # (TQ, RC)
             d = jnp.maximum(qsq.T - 2.0 * prod + rsqc, 0.0)
             # Pack distance (high bits) + global ref index (low idx_bits).
             colid = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1) + c * rc

@@ -65,7 +65,12 @@ def assemble_normal_equations(
     single-device assembly — this split is the distributed-mapping hook."""
     Jm = jnp.where(row_valid[:, None], J, 0.0)
     rm = jnp.where(row_valid, r, 0.0)
-    return Jm.T @ Jm, Jm.T @ (-damping * rm)
+    # HIGHEST precision: XLA would otherwise feed the MXU bf16-truncated
+    # inputs for these f32 contractions over the (large) row axis, putting
+    # ~0.4% noise on the 6x6 normal equations the GN solve then amplifies.
+    hi = jax.lax.Precision.HIGHEST
+    return (jnp.matmul(Jm.T, Jm, precision=hi),
+            jnp.matmul(Jm.T, -damping * rm, precision=hi))
 
 
 def solve_assembled(
@@ -166,13 +171,19 @@ def fit_plane_lstsq(pts: jax.Array) -> Tuple[jax.Array, jax.Array, jax.Array]:
 
     Returns (n (N, 3), d (N,), max_off (N,) — the largest |n·x+d| over the K
     points, used for the 0.2 m planarity gate (mapOptmization.cpp:1199-1207))."""
-    ones = -jnp.ones(pts.shape[:-1] + (1,))
-    AtA = jnp.einsum("nki,nkj->nij", pts, pts)
-    Atb = jnp.einsum("nki,nk->ni", pts, ones[..., 0])
-    n_raw = smallalg.solve3(AtA + 1e-9 * jnp.eye(3), Atb)
-    norm = jnp.linalg.norm(n_raw, axis=-1, keepdims=True)
-    n = n_raw / jnp.maximum(norm, 1e-12)
-    d = 1.0 / jnp.maximum(norm[..., 0], 1e-12)
+    # Centered formulation: n = smallest-eigenvalue direction of the neighbor
+    # covariance, d = -n·centroid.  Equivalent plane to the reference's
+    # A·n = -1 QR solve, but numerically stable at WORLD coordinates: the raw
+    # solve's AtA entries grow as ||x||² (~8000 m² at 90 m from the origin)
+    # and its f32 conditioning degrades quadratically with distance, while
+    # the centered covariance only sees the ~0.4 m neighbor spread.  (The -1
+    # RHS trick also degenerates for planes near the origin; this doesn't.)
+    c = jnp.mean(pts, axis=1)
+    q = pts - c[:, None, :]
+    cov = jnp.einsum("nki,nkj->nij", q, q)
+    evals, evecs = smallalg.eigh3x3(cov)
+    n = evecs[..., 0]                     # ascending order -> smallest
+    d = -jnp.sum(n * c, axis=-1)
     off = jnp.abs(jnp.einsum("nki,ni->nk", pts, n) + d[:, None])
     return n, d, jnp.max(off, axis=-1)
 

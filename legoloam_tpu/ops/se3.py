@@ -182,6 +182,23 @@ def retract(p: Pose, xi: jax.Array) -> Pose:
     return compose(se3_exp(xi), p)
 
 
+def retract_about(p: Pose, xi: jax.Array, center: jax.Array) -> Pose:
+    """Left-multiplicative update whose rotation acts about ``center`` instead
+    of the world origin: x -> exp(ω)·(x − center) + center + v.
+
+    Pairs with Jacobians built from CENTERED point coordinates
+    (J_rot = (p − center) × n).  A left-global update (plain ``retract``)
+    makes J_rot = p_world × n, whose lever arm grows with distance from the
+    world origin — the float32 normal equations then turn ill-conditioned and
+    Gauss-Newton stops converging (the reference never hits this because its
+    Euler linearization is around the scan pose with sensor-local points,
+    mapOptmization.cpp:1252-1271).  Centering reproduces the reference's
+    sensor-local conditioning with a position-independent twist."""
+    Rd = so3_exp(xi[:3])
+    td = center + xi[3:] - Rd @ center
+    return compose(Pose(Rd, td), p)
+
+
 # ---------------------------------------------------------------------------
 # Euler (ZYX yaw-pitch-roll, lidar frame) — for I/O and reference comparison
 # ---------------------------------------------------------------------------

@@ -227,7 +227,8 @@ def class_nn(
             d = (
                 qsq[:, None]
                 - 2.0 * jnp.dot(qb, ref_m.T,
-                                preferred_element_type=jnp.float32)
+                                preferred_element_type=jnp.float32,
+                                precision=jax.lax.Precision.HIGHEST)
                 + r_sq[None, :]
             )
             pen = ((ref_key[None, :] < lo) | (ref_key[None, :] > hi)
@@ -291,7 +292,8 @@ def knn(
             d = (
                 qsq[:, None]
                 - 2.0 * jnp.dot(qb, ref_m.T,
-                                preferred_element_type=jnp.float32)
+                                preferred_element_type=jnp.float32,
+                                precision=jax.lax.Precision.HIGHEST)
                 + r_sq[None, :]
             )
             d_eff = d + (d <= m_prev[:, None]) * BIG

@@ -1,0 +1,113 @@
+#!/usr/bin/env python
+"""Per-mapping-step diagnostics on a synthetic world.
+
+Prints, for every mapping step: the initial-guess error vs ground truth, the
+post-LM mapped-pose error, residual counts, LM iterations, submap occupancy,
+and whether the submap cache rebuilt — to localize mapping divergence.
+
+Usage: python tools/diag_map.py --world loop --scans 200 [--backend cpu]
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scans", type=int, default=200)
+    ap.add_argument("--backend", default=None)
+    ap.add_argument("--world", default="loop", choices=["courtyard", "loop"])
+    ap.add_argument("--radius", type=float, default=None)
+    ap.add_argument("--angular-rate", type=float, default=0.009)
+    ap.add_argument("--gt-odom", action="store_true",
+                    help="feed mapping GROUND-TRUTH odometry poses (but the "
+                         "real odometry-warped clouds): isolates cloud-frame "
+                         "bugs from odometry-error feedback")
+    ap.add_argument("--refresh", type=int, default=None,
+                    help="override mapping corr_refresh_every")
+    ap.add_argument("--map-iters", type=int, default=None,
+                    help="override mapping max_iterations")
+    args = ap.parse_args()
+    if args.radius is None:
+        args.radius = 30.0 if args.world == "loop" else 26.0
+    if args.backend:
+        jax.config.update("jax_platforms", args.backend)
+
+    from legoloam_tpu.config import DEFAULT
+    from legoloam_tpu.models import mapping as mapping_mod
+    from legoloam_tpu.models import odometry as odom_mod
+    from legoloam_tpu.models import pipeline
+    from legoloam_tpu.ops.se3 import Pose
+    from legoloam_tpu.utils import synthetic
+
+    import dataclasses
+
+    cfg = DEFAULT
+    if args.refresh or args.map_iters:
+        m = cfg.mapping
+        if args.refresh:
+            m = dataclasses.replace(m, corr_refresh_every=args.refresh)
+        if args.map_iters:
+            m = dataclasses.replace(m, max_iterations=args.map_iters)
+        cfg = cfg.replace(mapping=m)
+    scene = (synthetic.loop_scene() if args.world == "loop"
+             else synthetic.default_scene())
+    n = args.scans
+    poses = synthetic.circle_trajectory(n + 1, radius=args.radius,
+                                        angular_rate=args.angular_rate)
+    ray = jax.jit(lambda pk_R, pk_t, nx_R, nx_t: synthetic.raycast_scan(
+        scene, Pose(pk_R, pk_t), cfg.sensor,
+        next_pose=Pose(nx_R, nx_t), motion=True))
+
+    # Re-create slam_scan_step but capture the mapping diag + guess.
+    from legoloam_tpu.models import fusion as fusion_mod
+    from legoloam_tpu.ops import se3
+
+    state = pipeline.init_slam_state(cfg)
+    print(f"{'k':>4} {'|guess err|':>11} {'|mapped err|':>12} {'odom err':>9} "
+          f"{'nC':>5} {'nS':>6} {'it':>3} {'subC':>6} {'subS':>6} "
+          f"{'kf':>4} {'rebuilt':>7}")
+    for k in range(n):
+        pts, valid, ring = ray(poses.R[k], poses.t[k],
+                               poses.R[k + 1], poses.t[k + 1])
+        odom_state, out = pipeline.odometry_scan_step(
+            state.odom, pts, valid, ring, cfg)
+        if args.gt_odom:
+            # GT pose expressed in the estimate frame (scan-0 sensor frame).
+            gt_rel_t = poses.t[k] - poses.t[0]
+            out = out._replace(pose=type(out.pose)(poses.R[k], gt_rel_t))
+        map_state = state.mapping
+        if k % cfg.mapping_every == 0:
+            guess = se3.project_through_correction(
+                out.pose, map_state.t_bef, map_state.t_aft)
+            merged_before = int(map_state.cache.merged)
+            origin_before = np.asarray(map_state.cache.origin)
+            map_state, mapped_pose, mdiag = mapping_mod.mapping_step(
+                map_state, odom_state.last_corner, odom_state.last_surf,
+                odom_state.last_outlier, out.pose, jnp.asarray(0.1 * k),
+                cfg.mapping)
+            gt_t = np.asarray(poses.t[k])
+            g_err = float(np.linalg.norm(np.asarray(guess.t) - gt_t))
+            m_err = float(np.linalg.norm(np.asarray(mapped_pose.t) - gt_t))
+            o_err = float(np.linalg.norm(np.asarray(out.pose.t) - gt_t))
+            rebuilt = not np.allclose(np.asarray(map_state.cache.origin),
+                                      origin_before)
+            print(f"{k:4d} {g_err:11.3f} {m_err:12.3f} {o_err:9.3f} "
+                  f"{int(mdiag.n_corner_res):5d} {int(mdiag.n_surf_res):6d} "
+                  f"{int(mdiag.iters):3d} {int(mdiag.n_submap_corner):6d} "
+                  f"{int(mdiag.n_submap_surf):6d} "
+                  f"{int(map_state.kf.count):4d} {str(rebuilt):>7}",
+                  flush=True)
+        state = pipeline.SlamState(odom=odom_state, mapping=map_state,
+                                   loops=state.loops)
+
+
+if __name__ == "__main__":
+    main()

@@ -231,6 +231,51 @@ class MappingConfig:
     # 5-NN implementation: "auto" = single-distance-pass Pallas kernel on
     # TPU, XLA multi-pass elsewhere; "pallas" / "xla" force one.
     knn_backend: str = "auto"
+    # --- map-feedback stabilizers (TPU-side; the reference has neither) ---
+    # Scan-to-map LM runs only once the submap holds this many keyframes.
+    # Below it the mapped pose = odometry-projected guess and keyframes are
+    # stored from odometry, whose short-horizon relative drift is small —
+    # matching a 1-2 keyframe single-view map instead injects 0.1-0.2 m
+    # biases into the first keyframes (measured on motion-distorted synthetic
+    # worlds), and those mutually-inconsistent keyframes smear the submap,
+    # whose spurious optima then pull every later scan (runaway feedback).
+    min_lm_keyframes: int = 4
+    # Per-step trust region on the LM's correction relative to the guess:
+    # the guess already carries the previous correction, so a legitimate
+    # NEW correction is bounded by odometry error accrued over one mapping
+    # interval (~cm) plus map noise.  Steps beyond the cap are scaled down,
+    # keeping the direction (never hard-rejected).
+    max_step_trans: float = 0.30           # meters
+    max_step_rot_deg: float = 2.0
+    # Odometry prior anchored at the guess (MAP formulation): the solve
+    # minimizes  Σ map residuals² + ‖ξ_from_guess‖²_W  with
+    # W = diag(rot_std⁻², trans_std⁻²).  In directions the map constrains
+    # weakly (e.g. along a corridor: translation eigenvalue ~1e2 vs ~1e5 for
+    # rotation) an unanchored LS leaks rotation error into translation and
+    # the keyframes smear the map (runaway feedback, measured); the prior
+    # makes those directions defer to odometry while strongly-constrained
+    # directions (eigenvalues ≫ W) correct freely.  The reference
+    # approximates this with its hard eigenvalue-100 clamp
+    # (mapOptmization.cpp:1287) — an infinite prior below the threshold,
+    # none above; the clamp is kept too.  std <= 0 disables the prior.
+    prior_trans_std: float = 0.10          # m per mapping interval
+    prior_rot_std_deg: float = 1.0
+    # Ground-plane attitude/height anchor ("ground-optimized", taken to its
+    # logical end for ground vehicles): after each scan-to-map solve, fit a
+    # plane to the scan's ground picks in world frame and rotate
+    # roll/pitch (about the pose position) + shift z so the plane matches
+    # the first keyframe's ground (blend factor per step; 0 disables).
+    # Rationale: odometry attitude drift (~0.05°/scan measured on synthetic
+    # worlds without IMU) rotates each keyframe's cloud rigidly, smearing
+    # far-range map geometry by range × spread and destabilizing the
+    # scan-to-map feedback loop; the ground gives roll/pitch/z an ABSOLUTE
+    # reference the way the reference's IMU blend does
+    # (transformUpdate, mapOptmization.cpp:463-496) but without an IMU.
+    # Guarded: applied only when enough ground points fit a near-horizontal
+    # plane, so slopes/ramps degrade it gracefully to the unanchored solve.
+    ground_anchor: float = 0.8
+    ground_anchor_min_pts: int = 50
+    ground_anchor_max_tilt_deg: float = 10.0
 
 
 @dataclasses.dataclass(frozen=True)
@@ -288,6 +333,11 @@ class PipelineConfig:
     loop: LoopClosureConfig = LoopClosureConfig()
     posegraph: PoseGraphConfig = PoseGraphConfig()
     use_imu: bool = False
+    # De-skew / intra-scan warp: when False, per-point rel_time is zeroed at
+    # the projection boundary, disabling TransformToStart/End warps
+    # everywhere (for pre-deskewed input clouds, or for isolating warp-model
+    # effects in diagnostics).
+    deskew: bool = True
     # Mapping cadence in scans.  The reference feeds features every 2nd frame
     # (featureAssociation.cpp:284) and throttles mapping to >=0.3 s
     # (mapOptmization.cpp:1499) => effectively every 3rd scan at 10 Hz.

@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import MappingConfig
-from ..ops import lm, se3
+from ..ops import lm, se3, smallalg
 from ..ops.features import FeatureCloud
 from ..ops.se3 import Pose
 from ..ops.voxel import knn, voxel_downsample
@@ -85,6 +85,8 @@ class MapState(NamedTuple):
     cache: SubmapCache
     t_bef: Pose             # transformBefMapped: odometry pose at last mapping
     t_aft: Pose             # transformAftMapped: mapped pose at last mapping
+    ground_ref: jax.Array   # () anchor height of the first keyframe's ground
+    ground_ref_ok: jax.Array  # () bool: ground_ref captured
     initialized: jax.Array
 
 
@@ -124,7 +126,9 @@ def init_state(cfg: MappingConfig) -> MapState:
         prune_r=jnp.float32(cfg.search_radius + cfg.submap_rebuild_dist),
     )
     return MapState(kf=kf, cache=cache, t_bef=Pose.identity(),
-                    t_aft=Pose.identity(), initialized=jnp.array(False))
+                    t_aft=Pose.identity(), ground_ref=jnp.float32(0.0),
+                    ground_ref_ok=jnp.array(False),
+                    initialized=jnp.array(False))
 
 
 # ---------------------------------------------------------------------------
@@ -358,12 +362,22 @@ def scan_to_map(
         n, off, s_gate = _fit_surf(ps_w, surf_valid, sub_s, sub_sv, cfg)
         return _CorrGeom(t1, t2, c_gate, n, off, s_gate)
 
+    # Odometry-prior information matrix (see MappingConfig.prior_*): a
+    # quadratic penalty on the accumulated twist from the guess.
+    if cfg.prior_trans_std > 0 and cfg.prior_rot_std_deg > 0:
+        import math as _math
+        w_rot = 1.0 / _math.radians(cfg.prior_rot_std_deg) ** 2
+        w_trans = 1.0 / cfg.prior_trans_std ** 2
+        prior_w = jnp.asarray([w_rot] * 3 + [w_trans] * 3, jnp.float32)
+    else:
+        prior_w = jnp.zeros((6,), jnp.float32)
+
     def cond(st):
-        i, T, deg, done, geom, _, _, _ = st
+        i, T, xi_acc, deg, done, geom, _, _, _ = st
         return (i < cfg.max_iterations) & ~done & map_ok
 
     def body(st):
-        i, T, deg, done, geom, _, _, _ = st
+        i, T, xi_acc, deg, done, geom, _, _, _ = st
         if cfg.corr_refresh_every > 1:
             geom = jax.lax.cond(i % cfg.corr_refresh_every == 0,
                                 lambda: search(T), lambda: geom)
@@ -400,25 +414,89 @@ def scan_to_map(
                                                 1.0)
         if reduce_fn is not None:
             AtA, AtB = reduce_fn(AtA), reduce_fn(AtB)
+        # MAP solve: map normal equations + odometry prior anchored at the
+        # guess (xi_acc = accumulated twist away from it).
+        AtA = AtA + jnp.diag(prior_w)
+        AtB = AtB - prior_w * xi_acc
         delta, deg = lm.solve_assembled(AtA, AtB, deg, i == 0,
                                         cfg.degeneracy_eig_thresh)
         T_new = se3.retract_about(T, delta, lin_center)
         T = jax.tree.map(lambda a, b: jnp.where(enough, a, b), T_new, T)
+        xi_acc = jnp.where(enough, xi_acc + delta, xi_acc)
         rot_deg = jnp.degrees(jnp.linalg.norm(delta[:3]))
         t_cm = jnp.linalg.norm(delta[3:]) * 100.0
         done = ((rot_deg < cfg.conv_rot_deg) & (t_cm < cfg.conv_trans_cm)) \
             | ~enough
-        return (i + 1, T, deg, done, geom, n_c_ok, n_s_ok, enough)
+        return (i + 1, T, xi_acc, deg, done, geom, n_c_ok, n_s_ok, enough)
 
     geom0 = _CorrGeom(
         c_t1=jnp.zeros((nc, 3)), c_t2=jnp.ones((nc, 3)),
         c_gate=jnp.zeros((nc,), bool),
         s_n=jnp.zeros((surf.shape[0], 3)), s_off=jnp.zeros((surf.shape[0],)),
         s_gate=jnp.zeros((surf.shape[0],), bool))
-    init = (jnp.int32(0), guess, lm.identity_degeneracy(6), jnp.array(False),
+    init = (jnp.int32(0), guess, jnp.zeros((6,), jnp.float32),
+            lm.identity_degeneracy(6), jnp.array(False),
             geom0, jnp.int32(0), jnp.int32(0), jnp.array(False))
-    i, T, _, _, _, n_c, n_s, _ = jax.lax.while_loop(cond, body, init)
+    i, T, _, _, _, _, n_c, n_s, _ = jax.lax.while_loop(cond, body, init)
     return T, i, n_c, n_s
+
+
+def _ground_anchor(T: Pose, ground: FeatureCloud, ref_h, ref_ok,
+                   cfg: MappingConfig):
+    """Rotate roll/pitch (about the pose position) + shift z so the scan's
+    ground plane matches the anchor height (see MappingConfig.ground_anchor).
+
+    Returns (anchored pose, new ref_h, new ref_ok).  The first successful fit
+    CAPTURES the reference height; later fits pull toward it."""
+    gw = se3.transform_points(T, ground.xyz)
+    v = ground.valid
+    n_pts = jnp.sum(v)
+    w = v.astype(gw.dtype)
+    c = jnp.sum(gw * w[:, None], axis=0) / jnp.maximum(n_pts, 1)
+    q = (gw - c) * w[:, None]
+    cov = q.T @ q
+    evals, evecs = smallalg.eigh3x3(cov)
+    n = evecs[:, 0]
+    n = n * jnp.sign(n[2] + 1e-12)            # point up
+    max_tilt = jnp.cos(jnp.radians(cfg.ground_anchor_max_tilt_deg))
+    ok = (n_pts >= cfg.ground_anchor_min_pts) & (n[2] > max_tilt)
+
+    # Roll/pitch: rotate n -> z about the pose position.
+    axis = jnp.cross(n, jnp.array([0.0, 0.0, 1.0]))
+    sin_a = jnp.linalg.norm(axis)
+    angle = jnp.arcsin(jnp.clip(sin_a, -1.0, 1.0))
+    axis = axis / jnp.maximum(sin_a, 1e-12)
+    blend = jnp.float32(cfg.ground_anchor)
+    Rc = se3.so3_exp(axis * angle * blend)
+    t_rot = T.t                                # rotation center = pose position
+    T_rot = Pose(Rc @ T.R, Rc @ (T.t - t_rot) + t_rot)
+
+    # Height: plane height at the pose position, after the rotation.
+    h = c[2] + (Rc @ (c - t_rot) + t_rot - c)[2]
+    new_ref = jnp.where(ref_ok, ref_h, h)
+    dz = (new_ref - h) * blend
+    T_anch = Pose(T_rot.R, T_rot.t + jnp.array([0.0, 0.0, 1.0]) * dz)
+
+    T_out = jax.tree.map(lambda a, b: jnp.where(ok, a, b), T_anch, T)
+    return T_out, jnp.where(ref_ok, ref_h, jnp.where(ok, h, ref_h)), \
+        ref_ok | ok
+
+
+def _trust_region(guess: Pose, T: Pose, cfg: MappingConfig) -> Pose:
+    """Scale the LM's correction (relative to the odometry-projected guess)
+    down to the per-step caps, preserving its direction.  The guess already
+    carries the previous correction, so legitimate new corrections are small;
+    oversized ones are symptomatic of a smeared/spurious map optimum."""
+    xi = se3.se3_log(se3.relative(guess, T))       # guess -> T twist
+    rot = jnp.linalg.norm(xi[:3])
+    trans = jnp.linalg.norm(xi[3:])
+    max_rot = jnp.float32(jnp.radians(cfg.max_step_rot_deg))
+    scale = jnp.minimum(
+        1.0, jnp.minimum(
+            jnp.where(rot > 0, max_rot / jnp.maximum(rot, 1e-12), 1.0),
+            jnp.where(trans > 0,
+                      cfg.max_step_trans / jnp.maximum(trans, 1e-12), 1.0)))
+    return se3.compose(guess, se3.se3_exp(xi * scale))
 
 
 # ---------------------------------------------------------------------------
@@ -435,6 +513,7 @@ def mapping_step(
     scan_time: jax.Array,
     cfg: MappingConfig,
     imu_rpy: jax.Array | None = None,
+    ground_cloud: FeatureCloud | None = None,
 ) -> Tuple[MapState, Pose, MappingDiag]:
     """One mapping update (the reference's throttled ``run`` body,
     mapOptmization.cpp:1487-1522)."""
@@ -462,9 +541,19 @@ def mapping_step(
     sub_c, sub_cv = cache.c_pts, cache.c_valid
     sub_s, sub_sv = cache.s_pts, cache.s_valid
 
-    # 4. Scan-to-map LM.
-    T, iters, n_c, n_s = scan_to_map(
+    # 4. Scan-to-map LM — gated on submap maturity (min_lm_keyframes) and
+    # trust-regioned against the guess (see MappingConfig docstrings).
+    T_lm, iters, n_c, n_s = scan_to_map(
         guess, c_pts, c_ok, s_pts, s_ok, sub_c, sub_cv, sub_s, sub_sv, cfg)
+    lm_on = state.kf.count >= cfg.min_lm_keyframes
+    T = _trust_region(guess, T_lm, cfg)
+    T = jax.tree.map(lambda a, b: jnp.where(lm_on, a, b), T, guess)
+
+    # 4b'. Ground-plane attitude/height anchor (MappingConfig.ground_anchor).
+    ground_ref, ground_ref_ok = state.ground_ref, state.ground_ref_ok
+    if ground_cloud is not None and cfg.ground_anchor > 0:
+        T, ground_ref, ground_ref_ok = _ground_anchor(
+            T, ground_cloud, ground_ref, ground_ref_ok, cfg)
 
     # 4b. transformUpdate (mapOptmization.cpp:463-496): blend roll/pitch
     # toward the IMU attitude with weight imu_blend (0.998/0.002).
@@ -508,6 +597,8 @@ def mapping_step(
         cache=cache,
         t_bef=odom_pose,       # transformUpdate latch (mapOptmization.cpp:490-495)
         t_aft=T,
+        ground_ref=ground_ref,
+        ground_ref_ok=ground_ref_ok,
         initialized=jnp.array(True),
     )
     diag = MappingDiag(

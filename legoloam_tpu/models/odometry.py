@@ -50,6 +50,8 @@ class OdometryState(NamedTuple):
     last_corner: FeatureCloud
     last_surf: FeatureCloud
     last_outlier: FeatureCloud   # pass-through for mapping (scan-end frame)
+    last_flat: FeatureCloud      # ground picks (scan-end frame) — mapping's
+                                 # ground-plane attitude anchor input
     initialized: jax.Array   # () bool
 
 
@@ -72,6 +74,7 @@ def init_state(odom_cfg, feat_cfg) -> OdometryState:
         last_corner=empty(feat_cfg.max_less_sharp),
         last_surf=empty(feat_cfg.max_less_flat),
         last_outlier=empty(feat_cfg.max_outlier),
+        last_flat=empty(feat_cfg.max_flat),
         initialized=jnp.array(False),
     )
 
@@ -279,6 +282,7 @@ def odometry_step(
     last_corner = _warp_to_end(xi_warp, feats.less_sharp)
     last_surf = _warp_to_end(xi_warp, feats.less_flat)
     last_outlier = _warp_to_end(xi_warp, feats.outlier)
+    last_flat = _warp_to_end(xi_warp, feats.flat)
 
     new_state = OdometryState(
         pose=new_pose,
@@ -286,6 +290,7 @@ def odometry_step(
         last_corner=last_corner,
         last_surf=last_surf,
         last_outlier=last_outlier,
+        last_flat=last_flat,
         initialized=jnp.array(True),
     )
     diag = OdometryDiag(n_surf_corr=n_surf, n_corner_corr=n_corner,

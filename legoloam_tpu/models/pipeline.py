@@ -38,6 +38,12 @@ def process_scan(
     """Frontend: raw scan -> features (imageProjection + the feature half of
     featureAssociation)."""
     img = projection.project_scan(points, valid, cfg.sensor, ring=ring)
+    if not cfg.deskew:
+        # Pre-deskewed / rigid clouds: every point sits at the scan-END
+        # frame, i.e. rel_time ≡ 1 (NOT 0: the warp Jacobian scales with s,
+        # so s=0 would zero all twist information; with s=1 the odometry
+        # estimates the full rigid scan-to-scan transform).
+        img = img._replace(rel_time=jnp.ones_like(img.rel_time))
     seg = segmentation.segment(img, cfg.sensor, cfg.seg)
     xyz = None
     if imu_integral is not None:
@@ -191,7 +197,8 @@ def slam_scan_step(
         map_state, mapped_pose, _mdiag = mapping_mod.mapping_step(
             map_state, odom_state.last_corner, odom_state.last_surf,
             odom_state.last_outlier, out.pose, jnp.asarray(scan_time),
-            cfg.mapping, imu_rpy=imu_rpy_end)
+            cfg.mapping, imu_rpy=imu_rpy_end,
+            ground_cloud=odom_state.last_flat)
     if run_loop and cfg.loop.enabled:
         kf, loops, corrected, ldiag = loop_mod.close_and_correct(
             map_state.kf, loops, cfg.loop, cfg.posegraph)

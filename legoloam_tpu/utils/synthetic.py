@@ -102,13 +102,30 @@ def loop_scene() -> Scene:
         [31.0, 63.0, 0.0, 43.0, 73.0, 4.0],
     ]
     # Poles flanking the lane: rings at r=23 and r=37 from the lane center,
-    # every 30 deg (offset half a step on the outer ring).
+    # every 10 deg (offset on the outer ring).  Real outdoor scans (the
+    # reference's Stevens dataset is dense foliage) carry hundreds of edge
+    # features per scan; a pole every 30 deg starved the corner map and made
+    # the ring world's rotational symmetry a free gauge mode.
     cyl = []
-    for k in range(12):
-        a = np.radians(30.0 * k)
+    for k in range(36):
+        a = np.radians(10.0 * k)
         cyl.append([cx + 23.0 * np.cos(a), cy + 23.0 * np.sin(a), 0.18, 5.0])
-        b = a + np.radians(15.0)
+        b = a + np.radians(5.0)
         cyl.append([cx + 37.0 * np.cos(b), cy + 37.0 * np.sin(b), 0.18, 5.0])
+    # Crates/pillars scattered along both sides of the lane (deterministic
+    # pseudo-random sizes/offsets): dense vertical-edge structure at close
+    # range, breaking the ring symmetry at fine granularity.
+    rng = np.random.RandomState(7)
+    for k in range(28):
+        a = np.radians(360.0 / 28 * k + 6.0 * rng.rand())
+        r = 20.5 if k % 2 == 0 else 39.5
+        bx = cx + r * np.cos(a)
+        by = cy + r * np.sin(a)
+        w = 0.6 + 1.2 * rng.rand()
+        d = 0.6 + 1.2 * rng.rand()
+        hgt = 0.8 + 2.2 * rng.rand()
+        boxes.append([bx - w / 2, by - d / 2, 0.0,
+                      bx + w / 2, by + d / 2, hgt])
     return Scene(boxes=jnp.asarray(np.array(boxes, np.float32)),
                  cylinders=jnp.asarray(np.array(cyl, np.float32)))
 

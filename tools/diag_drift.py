@@ -27,11 +27,19 @@ def main():
                     choices=["courtyard", "loop"])
     ap.add_argument("--radius", type=float, default=None)
     ap.add_argument("--angular-rate", type=float, default=0.009)
+    ap.add_argument("--no-motion", action="store_true",
+                    help="raycast WITHOUT motion distortion")
+    ap.add_argument("--conv0", action="store_true",
+                    help="disable LM early-convergence freeze, 8 iters")
+    ap.add_argument("--odom-iters", type=int, default=None)
+    ap.add_argument("--damping", type=float, default=None)
     args = ap.parse_args()
     if args.radius is None:
         args.radius = 30.0 if args.world == "loop" else 26.0
     if args.backend:
         jax.config.update("jax_platforms", args.backend)
+
+    import dataclasses
 
     from legoloam_tpu.config import DEFAULT
     from legoloam_tpu.models import pipeline
@@ -39,14 +47,25 @@ def main():
     from legoloam_tpu.utils import synthetic
 
     cfg = DEFAULT
+    if args.conv0 or args.odom_iters or args.damping:
+        o = cfg.odom
+        if args.conv0:
+            o = dataclasses.replace(o, conv_rot_deg=0.0, conv_trans_cm=0.0,
+                                    max_iterations=args.odom_iters or 8)
+        elif args.odom_iters:
+            o = dataclasses.replace(o, max_iterations=args.odom_iters)
+        if args.damping:
+            o = dataclasses.replace(o, step_damping=args.damping)
+        cfg = cfg.replace(odom=o)
     scene = (synthetic.loop_scene() if args.world == "loop"
              else synthetic.default_scene())
     n = args.scans
     poses = synthetic.circle_trajectory(n + 1, radius=args.radius,
                                         angular_rate=args.angular_rate)
+    motion = not args.no_motion
     ray = jax.jit(lambda pk_R, pk_t, nx_R, nx_t: synthetic.raycast_scan(
         scene, Pose(pk_R, pk_t), cfg.sensor,
-        next_pose=Pose(nx_R, nx_t), motion=True))
+        next_pose=Pose(nx_R, nx_t) if motion else None, motion=motion))
 
     state = pipeline.init_slam_state(cfg)
     est_R, est_t = [], []
@@ -73,19 +92,26 @@ def main():
     terr = np.linalg.norm(dte - dtg, axis=1)
     tr = np.clip((np.einsum("kij,kij->k", dRe, dRg) - 1) / 2, -1, 1)
     rerr = np.degrees(np.arccos(tr))
-    # absolute heading error of the accumulated pose
+    # absolute heading error of the accumulated pose, with axis decomposition
+    # (error rotation expressed in the SENSOR frame: R_gtᵀ R_est)
     hR = np.einsum("kij,kil->kjl", gR, eR)
     htr = np.clip((np.trace(hR, axis1=1, axis2=2) - 1) / 2, -1, 1)
     herr = np.degrees(np.arccos(htr))
+    hax = np.stack([hR[:, 2, 1] - hR[:, 1, 2],
+                    hR[:, 0, 2] - hR[:, 2, 0],
+                    hR[:, 1, 0] - hR[:, 0, 1]], axis=1) * 0.5
+    hax_deg = np.degrees(np.arcsin(np.clip(hax, -1, 1)))
     pos_err = np.linalg.norm(et - gt, axis=1)
 
     print(f"{'bin':>8} {'d_t err (m)':>12} {'d_R err (deg)':>13} "
           f"{'|heading| deg':>13} {'|pos| m':>9}")
     for b in range(0, n - 1, 10):
         e = min(b + 10, n - 1)
+        ax = hax_deg[b:e].mean(0)
         print(f"{b:4d}-{e:3d} {terr[b:e].mean():12.4f} "
               f"{rerr[b:e].mean():13.4f} {herr[b:e].mean():13.3f} "
-              f"{pos_err[b:e].mean():9.3f}")
+              f"{pos_err[b:e].mean():9.3f}"
+              f"   err_rpy=({ax[0]:+.3f},{ax[1]:+.3f},{ax[2]:+.3f})deg")
     print(f"mean twist err {terr.mean():.4f} m  {rerr.mean():.4f} deg; "
           f"final pos err {pos_err[-1]:.3f} m")
 

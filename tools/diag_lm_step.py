@@ -29,6 +29,9 @@ def main():
     ap.add_argument("--radius", type=float, default=None)
     ap.add_argument("--angular-rate", type=float, default=0.009)
     ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--gt-odom", action="store_true",
+                    help="build the keyframe history with ground-truth "
+                         "odometry poses (A/B for map-noise effects)")
     args = ap.parse_args()
     if args.radius is None:
         args.radius = 30.0 if args.world == "loop" else 26.0
@@ -59,6 +62,9 @@ def main():
                                poses.R[k + 1], poses.t[k + 1])
         odom_state, out = pipeline.odometry_scan_step(
             state.odom, pts, valid, ring, cfg)
+        if args.gt_odom:
+            out = out._replace(
+                pose=Pose(poses.R[k], poses.t[k] - poses.t[0]))
         map_state = state.mapping
         if k % cfg.mapping_every == 0 and k < args.at:
             map_state, _, _ = mapping_mod.mapping_step(
@@ -90,9 +96,18 @@ def main():
     cache = mapping_mod.update_submap_cache(ms.cache, ms.kf, guess.t, mcfg)
     sub_c, sub_cv = cache.c_pts, cache.c_valid
     sub_s, sub_sv = cache.s_pts, cache.s_valid
-    print(f"step k={k}: |guess err|={np.linalg.norm(np.asarray(guess.t) - gt_t):.3f}"
+    gvec = np.asarray(guess.t) - gt_t
+    print(f"step k={k}: guess err=({gvec[0]:+.3f},{gvec[1]:+.3f},{gvec[2]:+.3f})"
+          f"={np.linalg.norm(gvec):.3f}"
           f"  submap C={int(jnp.sum(sub_cv))} S={int(jnp.sum(sub_sv))}"
           f"  scan C={int(jnp.sum(c_ok))} S={int(jnp.sum(s_ok))}")
+    # Keyframe pose errors vs ground truth (keyframe j was scan j*mapping_every).
+    nkf = int(ms.kf.count)
+    for j in range(nkf):
+        kj = j * cfg.mapping_every
+        ev = np.asarray(ms.kf.t[j]) - np.asarray(poses.t[kj])
+        print(f"    kf{j:02d} (scan {kj:3d}) err=({ev[0]:+.3f},{ev[1]:+.3f},"
+              f"{ev[2]:+.3f})={np.linalg.norm(ev):.3f}")
 
     T = guess
     for i in range(args.iters):
@@ -115,6 +130,16 @@ def main():
             [jnp.cross(p_all - lin_c[None, :], dir_all), dir_all], axis=1)
         AtA, AtB = lm.assemble_normal_equations(J, res_all, ok_all, 1.0)
         evals = np.linalg.eigvalsh(np.asarray(AtA))
+        # Translation-gradient breakdown: who pulls in x/y?
+        Jn, rn, okn = map(np.asarray, (J, res_all, ok_all))
+        nzq = np.abs(np.asarray(pn)[:, 2])
+        is_g = np.concatenate([np.zeros(pc_w.shape[0], bool), nzq > 0.8])
+        is_c = np.concatenate([np.ones(pc_w.shape[0], bool),
+                               np.zeros(ps_w.shape[0], bool)])
+        def grad(m):
+            mm = okn & m
+            return -(Jn[mm, 3:] * rn[mm, None]).sum(0)
+        gg, gw, gc = grad(is_g), grad(~is_g & ~is_c), grad(is_c)
         deg = lm.analyze_degeneracy(AtA, mcfg.degeneracy_eig_thresh)
         delta, _ = lm.solve_assembled(AtA, AtB, deg, False,
                                       mcfg.degeneracy_eig_thresh)
@@ -140,7 +165,11 @@ def main():
               f"v0=({v0[0]:+.2f},{v0[1]:+.2f},{v0[2]:+.2f}|"
               f"{v0[3]:+.2f},{v0[4]:+.2f},{v0[5]:+.2f}) "
               f"err=({errv[0]:+.3f},{errv[1]:+.3f},{errv[2]:+.3f})"
-              f"={terr:.4f}", flush=True)
+              f"={terr:.4f}\n"
+              f"      grad_t: ground=({gg[0]:+7.1f},{gg[1]:+7.1f},{gg[2]:+7.1f})"
+              f" wall=({gw[0]:+7.1f},{gw[1]:+7.1f},{gw[2]:+7.1f})"
+              f" corner=({gc[0]:+7.1f},{gc[1]:+7.1f},{gc[2]:+7.1f})",
+              flush=True)
         T = T_new
 
 

@@ -30,10 +30,18 @@ def main():
                     help="feed mapping GROUND-TRUTH odometry poses (but the "
                          "real odometry-warped clouds): isolates cloud-frame "
                          "bugs from odometry-error feedback")
+    ap.add_argument("--no-motion", action="store_true",
+                    help="raycast WITHOUT motion distortion")
+    ap.add_argument("--no-deskew", action="store_true",
+                    help="disable all intra-scan warps (rel_time=0)")
     ap.add_argument("--refresh", type=int, default=None,
                     help="override mapping corr_refresh_every")
     ap.add_argument("--map-iters", type=int, default=None,
                     help="override mapping max_iterations")
+    ap.add_argument("--rot-std", type=float, default=None,
+                    help="override mapping prior_rot_std_deg")
+    ap.add_argument("--trans-std", type=float, default=None,
+                    help="override mapping prior_trans_std")
     args = ap.parse_args()
     if args.radius is None:
         args.radius = 30.0 if args.world == "loop" else 26.0
@@ -50,21 +58,27 @@ def main():
     import dataclasses
 
     cfg = DEFAULT
-    if args.refresh or args.map_iters:
-        m = cfg.mapping
-        if args.refresh:
-            m = dataclasses.replace(m, corr_refresh_every=args.refresh)
-        if args.map_iters:
-            m = dataclasses.replace(m, max_iterations=args.map_iters)
-        cfg = cfg.replace(mapping=m)
+    if args.no_deskew:
+        cfg = cfg.replace(deskew=False)
+    m = cfg.mapping
+    if args.refresh:
+        m = dataclasses.replace(m, corr_refresh_every=args.refresh)
+    if args.map_iters:
+        m = dataclasses.replace(m, max_iterations=args.map_iters)
+    if args.rot_std is not None:
+        m = dataclasses.replace(m, prior_rot_std_deg=args.rot_std)
+    if args.trans_std is not None:
+        m = dataclasses.replace(m, prior_trans_std=args.trans_std)
+    cfg = cfg.replace(mapping=m)
     scene = (synthetic.loop_scene() if args.world == "loop"
              else synthetic.default_scene())
     n = args.scans
     poses = synthetic.circle_trajectory(n + 1, radius=args.radius,
                                         angular_rate=args.angular_rate)
+    motion = not args.no_motion
     ray = jax.jit(lambda pk_R, pk_t, nx_R, nx_t: synthetic.raycast_scan(
         scene, Pose(pk_R, pk_t), cfg.sensor,
-        next_pose=Pose(nx_R, nx_t), motion=True))
+        next_pose=Pose(nx_R, nx_t) if motion else None, motion=motion))
 
     # Re-create slam_scan_step but capture the mapping diag + guess.
     from legoloam_tpu.models import fusion as fusion_mod
@@ -92,18 +106,29 @@ def main():
             map_state, mapped_pose, mdiag = mapping_mod.mapping_step(
                 map_state, odom_state.last_corner, odom_state.last_surf,
                 odom_state.last_outlier, out.pose, jnp.asarray(0.1 * k),
-                cfg.mapping)
+                cfg.mapping, ground_cloud=odom_state.last_flat)
             gt_t = np.asarray(poses.t[k])
             g_err = float(np.linalg.norm(np.asarray(guess.t) - gt_t))
             m_err = float(np.linalg.norm(np.asarray(mapped_pose.t) - gt_t))
             o_err = float(np.linalg.norm(np.asarray(out.pose.t) - gt_t))
+
+            def rot_err_deg(R_est):
+                dR = np.asarray(R_est) @ np.asarray(poses.R[k]).T
+                w = np.array([dR[2, 1] - dR[1, 2], dR[0, 2] - dR[2, 0],
+                              dR[1, 0] - dR[0, 1]]) * 0.5
+                return np.degrees(np.arcsin(np.clip(np.linalg.norm(w),
+                                                    -1, 1)))
+            g_r = rot_err_deg(guess.R)
+            m_r = rot_err_deg(mapped_pose.R)
+            o_r = rot_err_deg(out.pose.R)
             rebuilt = not np.allclose(np.asarray(map_state.cache.origin),
                                       origin_before)
             print(f"{k:4d} {g_err:11.3f} {m_err:12.3f} {o_err:9.3f} "
                   f"{int(mdiag.n_corner_res):5d} {int(mdiag.n_surf_res):6d} "
                   f"{int(mdiag.iters):3d} {int(mdiag.n_submap_corner):6d} "
                   f"{int(mdiag.n_submap_surf):6d} "
-                  f"{int(map_state.kf.count):4d} {str(rebuilt):>7}",
+                  f"{int(map_state.kf.count):4d} {str(rebuilt):>7}"
+                  f"  rot(g/m/o)deg={g_r:5.2f}/{m_r:5.2f}/{o_r:5.2f}",
                   flush=True)
         state = pipeline.SlamState(odom=odom_state, mapping=map_state,
                                    loops=state.loops)

@@ -34,6 +34,7 @@ def main():
                     help="raycast WITHOUT motion distortion")
     ap.add_argument("--no-deskew", action="store_true",
                     help="disable all intra-scan warps (rel_time=0)")
+    ap.add_argument("--traj", default="circle", choices=["circle", "figure8"])
     ap.add_argument("--refresh", type=int, default=None,
                     help="override mapping corr_refresh_every")
     ap.add_argument("--map-iters", type=int, default=None,
@@ -73,8 +74,11 @@ def main():
     scene = (synthetic.loop_scene() if args.world == "loop"
              else synthetic.default_scene())
     n = args.scans
-    poses = synthetic.circle_trajectory(n + 1, radius=args.radius,
-                                        angular_rate=args.angular_rate)
+    if args.traj == "figure8":
+        poses = synthetic.figure8_trajectory(n + 1, radius=8.0)
+    else:
+        poses = synthetic.circle_trajectory(n + 1, radius=args.radius,
+                                            angular_rate=args.angular_rate)
     motion = not args.no_motion
     ray = jax.jit(lambda pk_R, pk_t, nx_R, nx_t: synthetic.raycast_scan(
         scene, Pose(pk_R, pk_t), cfg.sensor,

@@ -35,6 +35,9 @@ def main():
                          " 90x90 m ring world built for full revisit laps")
     ap.add_argument("--radius", type=float, default=None)
     ap.add_argument("--angular-rate", type=float, default=0.009)
+    ap.add_argument("--traj", default="circle", choices=["circle", "figure8"],
+                    help="figure8: equal left/right turning (cancels "
+                         "rotation-coupled sampling bias; revisits origin)")
     args = ap.parse_args()
     if args.radius is None:
         args.radius = 30.0 if args.world == "loop" else 26.0
@@ -56,8 +59,13 @@ def main():
     scene = (synthetic.loop_scene() if args.world == "loop"
              else synthetic.default_scene())
     n = args.scans
-    poses = synthetic.circle_trajectory(n + 1, radius=args.radius,
-                                        angular_rate=args.angular_rate)
+    if args.traj == "figure8":
+        # radius 8 keeps the lobes clear of the courtyard's interior
+        # buildings; the loop world's central block rules figure8 out there.
+        poses = synthetic.figure8_trajectory(n + 1, radius=8.0)
+    else:
+        poses = synthetic.circle_trajectory(n + 1, radius=args.radius,
+                                            angular_rate=args.angular_rate)
 
     integ = None
     if args.imu:

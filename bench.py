@@ -40,6 +40,11 @@ def main():
                     help="(default) full SLAM cadence incl. scan-to-map")
     ap.add_argument("--loop", action="store_true",
                     help="full SLAM + loop-closure cadence (every 10th scan)")
+    ap.add_argument("--slam-block", action="store_true",
+                    help="pack mapping_every scans + one mapping step per "
+                         "XLA program (identical math to streaming; measured "
+                         "~5%% slower on axon, whose async dispatch already "
+                         "pipelines the per-scan launches)")
     args = ap.parse_args()
     args.mapping = not args.odometry
 
@@ -74,14 +79,38 @@ def main():
 
     if args.mapping:
         state = pipeline.init_slam_state(cfg)
+        B = cfg.mapping_every
 
-        def step(state, scan, k):
-            return pipeline.slam_scan_step(
-                state, *scan, cfg, float(k) * 0.1,
-                run_mapping=(k % cfg.mapping_every == 0),
-                run_loop=args.loop and k % 10 == 0 and k > 0)
+        if not args.slam_block:
+            def step(state, scan, k):
+                return pipeline.slam_scan_step(
+                    state, *scan, cfg, float(k) * 0.1,
+                    run_mapping=(k % cfg.mapping_every == 0),
+                    run_loop=args.loop and k % 10 == 0 and k > 0)
 
-        scans_per_step = 1
+            scans_per_step = 1
+        else:
+            # Block mode: B consecutive scans + one mapping step fused into a
+            # single XLA program (bit-identical to streaming — tested in
+            # tests/test_slam_block.py).  Loop closure fires on every 3rd
+            # block (scan cadence 9 ≈ the reference's 1 Hz thread).  Blocks
+            # are pre-stacked on device so the timed loop only dispatches.
+            blocks = []
+            for b in range(n_pre):
+                blk = tuple(jnp.stack([scans[(b * B + i) % n_pre][j]
+                                       for i in range(B)])
+                            for j in range(3))
+                blocks.append(jax.tree.map(jax.device_put, blk))
+            jax.block_until_ready(blocks)
+
+            def step(state, scan, k):
+                blk = blocks[(k // B) % n_pre]
+                times = (jnp.arange(B, dtype=jnp.float32) + k) * 0.1
+                return pipeline.slam_scan_block(
+                    state, *blk, cfg, times,
+                    run_loop=args.loop and k % (3 * B) == 0 and k > 0)
+
+            scans_per_step = B
     else:
         from legoloam_tpu.models import odometry as odom
 

@@ -221,6 +221,61 @@ def slam_scan_step(
             diag=out.diag)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "run_loop"))
+def slam_scan_block(
+    state: SlamState,
+    points: jax.Array,     # (B, P, 3) — B consecutive scans
+    valid: jax.Array,      # (B, P)
+    ring: jax.Array,       # (B, P)
+    cfg: PipelineConfig,
+    scan_times: jax.Array,  # (B,)
+    run_loop: bool = False,
+):
+    """B consecutive SLAM scans fused into ONE XLA program.
+
+    With ``B = cfg.mapping_every`` this is exactly the reference cadence —
+    scan-to-map runs on the first scan of each block (the 0.3 s
+    ``mappingProcessInterval``), odometry + fusion run for every scan — and
+    the outputs are bit-identical to B streaming ``slam_scan_step`` calls
+    with ``run_mapping=(position == 0)``.  The packing amortizes the axon
+    per-program dispatch overhead ~2(B+1)/(B+2)-fold (streaming launches
+    odometry + fusion per scan plus mapping per block; this launches one
+    program per block).  Loop closure, when requested, runs once after the
+    block's mapping step.  The IMU path stays streaming-only."""
+    from . import fusion as fusion_mod
+    from . import loopclosure as loop_mod
+    from . import mapping as mapping_mod
+
+    odom_state = state.odom
+    map_state = state.mapping
+    loops = state.loops
+    outs = []
+    for j in range(points.shape[0]):
+        feats = process_scan(points[j], valid[j], ring[j], cfg)
+        odom_state, pose, diag = odom.odometry_step(odom_state, feats,
+                                                    cfg.odom)
+        if j == 0:
+            map_state, _mapped, _mdiag = mapping_mod.mapping_step(
+                map_state, odom_state.last_corner, odom_state.last_surf,
+                odom_state.last_outlier, pose, scan_times[j], cfg.mapping,
+                ground_cloud=odom_state.last_flat)
+            if run_loop and cfg.loop.enabled:
+                kf, loops, corrected, ldiag = loop_mod.close_and_correct(
+                    map_state.kf, loops, cfg.loop, cfg.posegraph)
+                t_aft = jax.tree.map(
+                    lambda a, b: jnp.where(ldiag.closed, a, b), corrected,
+                    map_state.t_aft)
+                cache = map_state.cache._replace(
+                    stale=map_state.cache.stale | ldiag.closed)
+                map_state = map_state._replace(kf=kf, t_aft=t_aft,
+                                               cache=cache)
+        fused = fusion_mod.fuse(pose, map_state.t_bef, map_state.t_aft)
+        outs.append(SlamOutput(odom_pose=pose, mapped_pose=map_state.t_aft,
+                               fused_pose=fused, diag=diag))
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *outs)
+    return SlamState(odom=odom_state, mapping=map_state, loops=loops), stacked
+
+
 def run_slam_sequence(scans, cfg: PipelineConfig, times=None):
     """Host driver for the full pipeline; returns fused trajectory."""
     state = init_slam_state(cfg)

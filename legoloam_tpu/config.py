@@ -89,12 +89,14 @@ class SegmentationConfig:
     valid_point_num: int = 5                 # segmentValidPointNum
     valid_line_num: int = 3                  # segmentValidLineNum
     min_cluster_size: int = 30               # imageProjection.cpp:440
-    # Segmented-scan sweeps for the connected-component kernel (capped at 8).
-    # The reference does queue BFS (imageProjection.cpp:370-460); we alternate
-    # full-row/full-column parallel-prefix min-scans — each sweep propagates
-    # labels across entire straight runs, so ``sweeps`` bounds the number of
-    # BENDS in a component's min-label path, not its diameter.
-    ccl_max_iters: int = 6
+    # Upper BOUND on segmented-scan sweeps for the connected-component
+    # kernel; both backends sweep until the labels reach a fixpoint (exactly
+    # the reference BFS partition, imageProjection.cpp:370-460) and this only
+    # caps adversarial snake-shaped components.  Each sweep propagates labels
+    # across entire straight runs, so the bound limits the number of BENDS in
+    # a component's min-label path, not its diameter; realistic scans
+    # converge in <= 6 sweeps.
+    ccl_max_iters: int = 32
     # CCL implementation: "auto" = VMEM-resident Pallas kernel on TPU, XLA
     # segmented scans elsewhere; "pallas" / "xla" force one.
     ccl_backend: str = "auto"
@@ -283,7 +285,11 @@ class LoopClosureConfig:
     """ICP loop closure (reference: mapOptmization.cpp:802-945)."""
 
     enabled: bool = False                      # loopClosureEnableFlag (utility.h:104)
-    cadence: float = 1.0                       # 1 Hz thread (807)
+    # Closure-attempt cadence in SECONDS of data time (the reference runs a
+    # 1 Hz wall-clock thread, mapOptmization.cpp:807; a deterministic replay
+    # has no wall clock, so drivers schedule attempts by scan timestamp —
+    # see pipeline.LoopScheduler).
+    cadence: float = 1.0
     search_radius: float = 7.0                 # historyKeyframeSearchRadius
     history_num: int = 25                      # historyKeyframeSearchNum
     min_time_gap: float = 30.0                 # mapOptmization.cpp:832
@@ -316,8 +322,8 @@ class PoseGraphConfig:
     odom_rot_var: float = 1e-6
     odom_trans_var: float = 1e-8
     gn_iters: int = 8
-    pcg_iters: int = 64
-    pcg_tol: float = 1e-8
+    pcg_iters: int = 64          # upper bound; the tolerance usually exits first
+    pcg_tol: float = 1e-8        # early exit when ||r||^2 <= pcg_tol * ||b||^2
     max_loop_factors: int = 256
 
 
@@ -348,3 +354,30 @@ class PipelineConfig:
 
 
 DEFAULT = PipelineConfig()
+
+# Reference-exact preset: every TPU-side enhancement off, every schedule and
+# count at the reference's hard-coded value.  This is the executable form of
+# the "set X to reproduce the reference" notes scattered through the field
+# docstrings above; tests/test_reference_preset.py runs it end-to-end and
+# tests/test_oracle_parity.py checks its front-end against the NumPy oracle.
+#   * picks 2/20/4          (featureAssociation.cpp:709,711,747)
+#   * LM 25 iters, refresh every 5, step damping 0.05, robust after iter 5
+#                            (featureAssociation.cpp:1163,1251,1321,1674)
+#   * warp_blend 1.0         (TransformToEnd uses the scan's own transform,
+#                            featureAssociation.cpp:885)
+#   * scan-to-map refresh every iteration (mapOptmization.cpp:1093-1227)
+#   * stabilizers (min_lm_keyframes / trust region / odometry prior / ground
+#     anchor) OFF — the reference has none of them.
+REFERENCE = PipelineConfig(
+    feat=dataclasses.replace(
+        FeatureConfig(), edge_per_section=2, edge_less_per_section=20,
+        surf_per_section=4),
+    odom=dataclasses.replace(
+        OdometryConfig(), max_iterations=25, corr_refresh_every=5,
+        step_damping=0.05, robust_after_iter=5, warp_blend=1.0),
+    mapping=dataclasses.replace(
+        MappingConfig(), corr_refresh_every=1, min_lm_keyframes=0,
+        max_step_trans=0.0, max_step_rot_deg=0.0,
+        prior_trans_std=0.0, prior_rot_std_deg=0.0,
+        ground_anchor=0.0),
+)

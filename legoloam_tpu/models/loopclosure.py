@@ -73,18 +73,16 @@ def _world_cloud(kf: KeyframeStore, idx, corner=True, surf=True):
     return jnp.concatenate(parts, axis=0), jnp.concatenate(vals, axis=0)
 
 
-_HIST_HALF = 25  # historyKeyframeSearchNum (utility.h:133)
-
-
 def _history_cloud(kf: KeyframeStore, center, cfg: LoopClosureConfig):
-    """±25-keyframe submap around ``center``, 0.4 m downsampled.
+    """±history_num-keyframe submap around ``center``, 0.4 m downsampled
+    (historyKeyframeSearchNum=25, utility.h:133).
 
     Unlike the reference (which takes the raw index window,
     mapOptmization.cpp:852-858, and relies on keyframe density to keep the
     current pass out of it), keyframes within ``min_time_gap`` of the latest
     one are explicitly excluded — otherwise the drifted current pass leaks
     into the history submap and ICP happily aligns the cloud onto itself."""
-    offs = jnp.arange(-_HIST_HALF, _HIST_HALF + 1)
+    offs = jnp.arange(-cfg.history_num, cfg.history_num + 1)
     idxs = jnp.clip(center + offs, 0, jnp.maximum(kf.count - 1, 0))
     cur_time = kf.time[jnp.maximum(kf.count - 1, 0)]
     in_range = (center + offs >= 0) & (center + offs < kf.count) \

@@ -135,16 +135,52 @@ def init_state(cfg: MappingConfig) -> MapState:
 # Submap assembly
 # ---------------------------------------------------------------------------
 
+def _pos_cell(t: jax.Array, center: jax.Array, leaf: float) -> jax.Array:
+    """Absolute ``leaf``-grid cell key of each position, packed into int32
+    relative to ``center``'s cell (7 bits/axis; positions > 63 cells out
+    collapse, which only matters outside any search radius)."""
+    q = jnp.floor(t / leaf).astype(jnp.int32) \
+        - jnp.floor(center[None] / leaf).astype(jnp.int32)
+    q = jnp.clip(q, -63, 63) + 64
+    return (q[:, 0] << 14) | (q[:, 1] << 7) | q[:, 2]
+
+
+def dedup_positions(t: jax.Array, ok: jax.Array, center: jax.Array,
+                    leaf: float):
+    """One representative per ``leaf``-sized position voxel — the reference's
+    1 m pose downsample before submap assembly
+    (downSizeFilterSurroundingKeyPoses, mapOptmization.cpp:1009-1010).
+    Without it, dense revisit areas (post loop closure) fill a top-S
+    selection with near-duplicate keyframes and truncate the radius coverage
+    the reference gets from its radius search over DEDUPED poses.
+
+    The representative is the LOWEST-index keyframe of the cell, on the
+    ABSOLUTE grid: the choice never changes as later keyframes arrive or the
+    query center moves, which keeps the incremental submap cache exactly
+    consistent with a from-scratch rebuild (update_submap_cache)."""
+    key = jnp.where(ok, _pos_cell(t, center, leaf), jnp.int32(0x7FFFFFFF))
+    perm = jnp.argsort(key)                  # stable: ties keep index order
+    sk = key[perm]
+    first = jnp.concatenate([jnp.array([True]), sk[1:] != sk[:-1]])
+    rep = first & (sk != 0x7FFFFFFF)
+    return jnp.zeros(t.shape[:1], bool).at[perm].set(rep)
+
+
 def extract_submap(kf: KeyframeStore, center: jax.Array, cfg: MappingConfig,
                    return_counts: bool = False):
-    """Gather the nearest keyframes within the search radius, transform their
-    clouds to world, and voxel-downsample into fixed-cap submap arrays.
-    The keyframe cap is the reference's surroundingKeyframeSearchNum=50
-    (mapOptmization.cpp:961-1065)."""
+    """Gather the nearest position-deduped keyframes within the search
+    radius, transform their clouds to world, and voxel-downsample into
+    fixed-cap submap arrays.  Selection follows the reference's radius mode
+    (mapOptmization.cpp:1001-1056): radius search over keyframe positions
+    DEDUPED at ``surrounding_leaf`` (1 m), one keyframe per occupied cell.
+    ``search_num`` caps the deduped selection (the reference's loop-closure
+    mode cap, surroundingKeyframeSearchNum=50; after dedup a 50-cap covers a
+    50 m disk rather than 50 raw trajectory steps ~ 15 m)."""
     m = kf.t.shape[0]
     kf_ok = jnp.arange(m) < kf.count
     d2 = jnp.sum((kf.t - center[None, :]) ** 2, axis=-1)
-    d2 = jnp.where(kf_ok, d2, jnp.inf)
+    rep = dedup_positions(kf.t, kf_ok, center, cfg.surrounding_leaf)
+    d2 = jnp.where(rep, d2, jnp.inf)
     sel_score, sel = jax.lax.top_k(-d2, min(cfg.search_num, m))
     sel_ok = (-sel_score) <= cfg.search_radius ** 2
 
@@ -194,7 +230,17 @@ def update_submap_cache(cache: SubmapCache, kf: KeyframeStore,
 
     def incremental():
         idx = jnp.minimum(cache.merged, kf.t.shape[0] - 1)
-        has_new = cache.merged < kf.count
+        advance = cache.merged < kf.count     # consume one pending keyframe
+        # Position-dedup consistency with extract_submap: fold the new
+        # keyframe's points only if it is its 1 m cell's representative (no
+        # EARLIER keyframe occupies the cell; dedup_positions picks the
+        # lowest index, which never changes as keyframes accrete, so
+        # skipping non-representatives here reproduces the rebuild's dedup
+        # exactly).  Non-representatives still advance ``merged``.
+        cells = _pos_cell(kf.t, cache.origin, cfg.surrounding_leaf)
+        earlier = jnp.arange(kf.t.shape[0]) < idx
+        is_rep = ~jnp.any(earlier & (cells == cells[idx]))
+        has_new = advance & is_rep
         R, t = kf.R[idx], kf.t[idx]
         prune_r2 = cache.prune_r ** 2
 
@@ -233,7 +279,7 @@ def update_submap_cache(cache: SubmapCache, kf: KeyframeStore,
                            s_pts=s, s_cnt=sc, s_valid=sv,
                            origin=cache.origin,
                            merged=cache.merged
-                           + jnp.where(has_new, 1, 0).astype(jnp.int32),
+                           + jnp.where(advance, 1, 0).astype(jnp.int32),
                            stale=jnp.array(False),
                            prune_r=new_r.astype(jnp.float32))
 
@@ -546,7 +592,9 @@ def mapping_step(
     T_lm, iters, n_c, n_s = scan_to_map(
         guess, c_pts, c_ok, s_pts, s_ok, sub_c, sub_cv, sub_s, sub_sv, cfg)
     lm_on = state.kf.count >= cfg.min_lm_keyframes
-    T = _trust_region(guess, T_lm, cfg)
+    # max_step_trans <= 0 disables the trust region (config.REFERENCE —
+    # the reference applies the raw LM result).
+    T = _trust_region(guess, T_lm, cfg) if cfg.max_step_trans > 0 else T_lm
     T = jax.tree.map(lambda a, b: jnp.where(lm_on, a, b), T, guess)
 
     # 4b'. Ground-plane attitude/height anchor (MappingConfig.ground_anchor).

@@ -187,9 +187,17 @@ def optimize(
 
         b = -rhs()
 
-        # PCG.
-        def pcg_body(_, st):
-            x, rr, p, rz = st
+        # PCG with relative-residual tolerance exit: stop when
+        # ‖r‖² <= pcg_tol·‖b‖² or after pcg_iters iterations.
+        b2 = jnp.sum(b * b)
+
+        def pcg_cond(st):
+            i, x, rr, p, rz = st
+            return (i < cfg.pcg_iters) & (jnp.sum(rr * rr)
+                                          > cfg.pcg_tol * b2)
+
+        def pcg_body(st):
+            i, x, rr, p, rz = st
             Hp = hvp(p)
             alpha = rz / jnp.maximum(jnp.sum(p * Hp), 1e-30)
             x = x + alpha * p
@@ -198,12 +206,12 @@ def optimize(
             rz_new = jnp.sum(rr * z)
             beta = rz_new / jnp.maximum(rz, 1e-30)
             p = z + beta * p
-            return x, rr, p, rz_new
+            return i + 1, x, rr, p, rz_new
 
         x0 = jnp.zeros((M, 6))
         z0 = precond(b)
-        st = (x0, b, z0, jnp.sum(b * z0))
-        x, _, _, _ = jax.lax.fori_loop(0, cfg.pcg_iters, pcg_body, st)
+        st = (jnp.int32(0), x0, b, z0, jnp.sum(b * z0))
+        _, x, _, _, _ = jax.lax.while_loop(pcg_cond, pcg_body, st)
 
         delta = jnp.where(node_ok[:, None], x, 0.0)
         upd = se3.se3_exp(delta)

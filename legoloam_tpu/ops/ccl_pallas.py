@@ -82,7 +82,7 @@ def _ccl_kernel(lab_ref, rmin_ref, rmax_ref, cfwd_ref, cbwd_ref, cdown_ref,
     cup = cup_ref[:]
     seam = seam_ref[:] != 0     # (n, w) broadcast seam-connectivity flag
 
-    for _ in range(sweeps):
+    def one_sweep(planes):
         planes = scan(planes, cfwd, 1, w, True)
         planes = scan(planes, cbwd, 1, w, False)
         # Seam merge: rows whose wrap edge is connected share the combined
@@ -102,6 +102,24 @@ def _ccl_kernel(lab_ref, rmin_ref, rmax_ref, cfwd_ref, cbwd_ref, cdown_ref,
         planes = scan(planes, cbwd, 1, w, False)
         planes = scan(planes, cdown, 0, n, True)
         planes = scan(planes, cup, 0, n, False)
+        return planes
+
+    # Sweep to FIXPOINT (``sweeps`` is an upper bound): at the fixpoint the
+    # partition equals the reference BFS's connected components exactly —
+    # same contract as segmentation._label_propagation.  The convergence
+    # check is one on-chip compare+reduce per sweep; realistic scans stop
+    # after <= 6 sweeps.
+    def cond(st):
+        _, i, changed = st
+        return changed & (i < sweeps)
+
+    def body(st):
+        planes, i, _ = st
+        new = one_sweep(planes)
+        return new, i + 1, jnp.any(new[0] != planes[0])
+
+    planes, _, _ = jax.lax.while_loop(
+        cond, body, (one_sweep(planes), jnp.int32(1), jnp.bool_(True)))
 
     lab_out[:] = planes[0]
     rmin_out[:] = planes[1]

@@ -57,6 +57,22 @@ class ScanFeatures(NamedTuple):
                                # mapping folds these into the surf map)
 
 
+class FeatureDebug(NamedTuple):
+    """Internals of the XLA pick path, exposed for the reference-parity
+    oracle tests (tests/test_oracle_parity.py).  All arrays are in the
+    per-ring COMPACTED layout (ring r's segmented cells first, column
+    order)."""
+    label: jax.Array       # (N, H) int8: 2 sharp, 1 less-sharp, -1 flat, 0
+    curvature: jax.Array   # (N, H) float32
+    curv_ok: jax.Array     # (N, H) bool: position has a full curvature window
+    occl_picked: jax.Array  # (N, H) bool: suppressed by occlusion/parallel
+                            # marking BEFORE any pick
+    col: jax.Array         # (N, H) int32 original column of compacted cell
+    ground: jax.Array      # (N, H) bool ground flag of compacted cell
+    count: jax.Array       # (N,) segmented cells per ring
+    lf_mask: jax.Array     # (N, H) bool: less-flat membership pre-downsample
+
+
 def _compaction_perm(segmented: jax.Array):
     """Per-ring stable-partition permutation: segmented cells first (in column
     order), the rest after.  Equivalent to ``argsort(where(seg, col, col+h))``
@@ -120,13 +136,14 @@ def _shift(a, k, fill):
         axis=1)
 
 
-@functools.partial(jax.jit, static_argnames=("sensor", "cfg"))
+@functools.partial(jax.jit, static_argnames=("sensor", "cfg", "return_debug"))
 def extract_features(
     img: RangeImage,
     seg: Segmentation,
     sensor: SensorConfig,
     cfg: FeatureConfig,
     xyz_deskewed: jax.Array | None = None,
+    return_debug: bool = False,
 ) -> ScanFeatures:
     """Full feature extraction.  ``xyz_deskewed`` (N, H, 3) optionally replaces
     the raw cell coordinates (after IMU de-skew), matching the reference's
@@ -142,7 +159,7 @@ def extract_features(
 
     use_pallas = cfg.picks_backend == "pallas" or (
         cfg.picks_backend == "auto" and jax.default_backend() not in ("cpu",))
-    if use_pallas:
+    if use_pallas and not return_debug:
         from .features_pallas import pick_labels_pallas
         label = pick_labels_pallas(
             rng, c["col"], c["ground"], count, cfg,
@@ -179,6 +196,7 @@ def extract_features(
     )
     picked = picked | parallel
     picked = picked & in_ring
+    occl_picked = picked
 
     # ---- extractFeatures (featureAssociation.cpp:680-784) ----
     # Section boundaries in compacted indices with 5-pt guards:
@@ -256,8 +274,15 @@ def extract_features(
         label = jnp.where(pick_grid, jnp.int8(-1), label)
         picked_grid = suppress(picked_grid, pick_grid)
 
-    return _build_clouds(img, seg, c, count, in_ring, label, cfg,
-                         xyz_deskewed)
+    clouds = _build_clouds(img, seg, c, count, in_ring, label, cfg,
+                           xyz_deskewed)
+    if return_debug:
+        dbg = FeatureDebug(
+            label=label, curvature=curvature, curv_ok=curv_ok,
+            occl_picked=occl_picked, col=c["col"], ground=c["ground"],
+            count=count, lf_mask=in_ring & (label <= 0))
+        return clouds, dbg
+    return clouds
 
 
 def _compact_cloud(mask, cap, xyz, ring, rel):

@@ -122,28 +122,39 @@ def project_scan(
     flat = jnp.where(ok, row * h + col, n_cells)  # padded cell drops into slot n_cells
 
     # Closest-point-wins, deterministic, in ONE segment reduction: pack
-    # (range, point index) into a single sortable int32 key — the top 17 bits
-    # of the positive-float range bit pattern (order-preserving; ~2^-9
-    # relative quantization used ONLY to pick the winner) + 15 index bits
-    # (p_cap <= 32768).  min(key) = closest point, exact near-ties broken by
-    # lowest point index, deterministically.  Scatter/gather ops dominate
-    # this backend's per-scan cost, so one packed reduction + one gather +
-    # one stacked scatter replaces the previous two reductions + two gathers
-    # + two scatters.
-    assert p_cap <= (1 << 15), "packed projection key needs p_cap <= 32768"
+    # (range, point index) into a single sortable int32 key — the top
+    # (31 - idx_bits) bits of the positive-float range bit pattern
+    # (order-preserving; the dropped low mantissa bits are a small relative
+    # quantization used ONLY to pick the winner) + idx_bits index bits sized
+    # to the scan cap (15 bits / 2^-9 quantization for the VLP-16's 28.8K
+    # points; 18 bits / 2^-6 for the VLS-128's 230K).  min(key) = closest
+    # point, near-ties broken by lowest point index, deterministically.
+    # Scatter/gather ops dominate this backend's per-scan cost, so one
+    # packed reduction + one gather + one stacked scatter replaces the
+    # previous two reductions + two gathers + two scatters.
+    idx_bits = max(1, (p_cap - 1).bit_length())
+    assert idx_bits <= 18, "packed projection key needs p_cap <= 262144"
+    idx_mask = (1 << idx_bits) - 1
     pidx = jnp.arange(p_cap, dtype=jnp.int32)
     rng_bits = jax.lax.bitcast_convert_type(rng, jnp.int32)
-    key = jnp.where(ok, (rng_bits & ~0x7FFF) | pidx, jnp.int32(0x7FFFFFFF))
+    key = jnp.where(ok, (rng_bits & ~idx_mask) | pidx,
+                    jnp.int32(0x7FFFFFFF))
     cell_key = jax.ops.segment_min(key, flat, num_segments=n_cells + 1)
 
     ori, start_ori, end_ori = _point_orientations(points, ok, p_cap)
-    rel = (ori - start_ori) / (end_ori - start_ori)
+    # Empty-scan guard: with no valid point, _point_orientations' argmax
+    # picks index 0 and start/end are atan2(0,0)-derived garbage; every cell
+    # is masked invalid downstream, but zero the timing channel explicitly so
+    # it can never leak non-finite values (end - start >= pi by construction,
+    # so the division itself is safe).
+    rel = jnp.where(jnp.any(ok),
+                    (ori - start_ori) / (end_ori - start_ori), 0.0)
 
     # The packed key's low 15 bits ARE the winning point index, so the cell
     # channels come from one stacked GATHER of point data — no scatter and no
     # winner-mask round trip.
     valid_flat = cell_key[:n_cells] != 0x7FFFFFFF
-    win_idx = jnp.where(valid_flat, cell_key[:n_cells] & 0x7FFF, 0)
+    win_idx = jnp.where(valid_flat, cell_key[:n_cells] & idx_mask, 0)
     vals = jnp.concatenate(
         [points[..., :3], rel[:, None], rng[:, None]], axis=1)
     img = vals[win_idx] * valid_flat[:, None].astype(vals.dtype)

@@ -159,15 +159,32 @@ def _label_propagation(seed_mask: jax.Array, conn_h: jax.Array, conn_v: jax.Arra
     cbf = jnp.concatenate([jnp.ones((1, h), bool), ~conn_v], axis=0)
     cbr = jnp.concatenate([~conn_v, jnp.ones((1, h), bool)], axis=0)
 
-    sweeps = max(2, min(max_iters, 8))
-    for _ in range(sweeps):
+    def sweep(labels):
         lab2 = jnp.concatenate([labels, labels], axis=1)
         fwd = _seg_min_scan(lab2, rbf2, axis=1, reverse=False)[:, h:]
         bwd = _seg_min_scan(lab2, rbr2, axis=1, reverse=True)[:, :h]
         labels = jnp.minimum(fwd, bwd)
         down = _seg_min_scan(labels, cbf, axis=0, reverse=False)
         up = _seg_min_scan(labels, cbr, axis=0, reverse=True)
-        labels = jnp.minimum(down, up)
+        return jnp.minimum(down, up)
+
+    # Sweep to FIXPOINT (bounded by max_iters): at the fixpoint every
+    # connected pair carries the same label, so the partition equals the
+    # reference BFS's connected components exactly (verified against the
+    # NumPy oracle, tests/test_oracle_parity.py) instead of depending on a
+    # sweep budget.  Realistic scans converge in <= 6 sweeps; the bound only
+    # caps adversarial snake-shaped components.
+    def cond(st):
+        labels, i, changed = st
+        return changed & (i < max_iters)
+
+    def body(st):
+        labels, i, _ = st
+        new = sweep(labels)
+        return new, i + 1, jnp.any(new != labels)
+
+    labels, _, _ = jax.lax.while_loop(
+        cond, body, (sweep(labels), jnp.int32(1), jnp.array(True)))
 
     # One pointer-jump compression canonicalizes any stragglers to their root.
     flat = jnp.concatenate([labels.reshape(-1), jnp.array([big])])
@@ -187,16 +204,15 @@ def segment(img: RangeImage, sensor: SensorConfig,
     conn_h, conn_v = _connectivity(img, sensor, cfg)
     use_pallas = cfg.ccl_backend == "pallas" or (
         cfg.ccl_backend == "auto" and jax.default_backend() not in ("cpu",))
-    cell_rspan = None
     if use_pallas:
         from .ccl_pallas import label_propagation_pallas
         # Interpreter mode lets the "pallas" path run (and be tested) on CPU.
         labels, rmin_cell, rmax_cell = label_propagation_pallas(
             seeds, conn_h, conn_v, cfg.ccl_max_iters,
             interpret=jax.default_backend() == "cpu")
-        cell_rspan = rmax_cell - rmin_cell + 1
     else:
         labels = _label_propagation(seeds, conn_h, conn_v, cfg.ccl_max_iters)
+        rmin_cell = rmax_cell = None
     flat_labels = labels.reshape(-1)
 
     # Cluster validity (imageProjection.cpp:440-451): size >= 30, or size >=
@@ -206,24 +222,38 @@ def segment(img: RangeImage, sensor: SensorConfig,
     # occupies a CONTIGUOUS ring interval; the reference's distinct-ring count
     # (lineCountFlag, imageProjection.cpp:436-446) therefore equals
     # max_ring - min_ring + 1 — two small segment reductions instead of a
-    # (n_cells x n_scan) one-hot scatter.
+    # (n_cells x n_scan) one-hot scatter — MINUS the reference's seed quirk:
+    # lineCountFlag is set only for cells PUSHED by the BFS, and the seed
+    # (the component's first cell in row-major order, hence in its minimum
+    # ring) is never pushed, so its ring counts only if another component
+    # cell shares it.  Reproduced exactly: subtract 1 when the minimum ring
+    # holds a single cell (imageProjection.cpp:376-449).
     seeds_flat = seeds.reshape(-1)
     ones = seeds_flat.astype(jnp.int32)
     sizes = jax.ops.segment_sum(ones, flat_labels, num_segments=n_cells + 1)
     cell_size = sizes[flat_labels].reshape(n, h)
-    if cell_rspan is None:
-        ring_of = (jnp.arange(n_cells, dtype=jnp.int32) // h)
+    ring_of = (jnp.arange(n_cells, dtype=jnp.int32) // h)
+    if rmin_cell is None:
         rmin = jax.ops.segment_min(
             jnp.where(seeds_flat, ring_of, n), flat_labels,
             num_segments=n_cells + 1)
         rmax = jax.ops.segment_max(
             jnp.where(seeds_flat, ring_of, -1), flat_labels,
             num_segments=n_cells + 1)
-        cell_rspan = (rmax[flat_labels] - rmin[flat_labels] + 1).reshape(n, h)
+        rmin_flat = rmin[flat_labels]
+        cell_rspan = (rmax[flat_labels] - rmin_flat + 1).reshape(n, h)
+    else:
+        rmin_flat = rmin_cell.reshape(-1)
+        cell_rspan = rmax_cell - rmin_cell + 1
+    in_min_row = seeds_flat & (ring_of == rmin_flat)
+    min_row_count = jax.ops.segment_sum(
+        in_min_row.astype(jnp.int32), flat_labels, num_segments=n_cells + 1)
+    cell_line_count = cell_rspan - (
+        min_row_count[flat_labels].reshape(n, h) == 1)
     cell_valid_cluster = seeds & (
         (cell_size >= cfg.min_cluster_size)
         | ((cell_size >= cfg.valid_point_num)
-           & (cell_rspan >= cfg.valid_line_num))
+           & (cell_line_count >= cfg.valid_line_num))
     )
     cell_invalid_cluster = seeds & ~cell_valid_cluster
 

@@ -95,7 +95,14 @@ def extract_submap_sharded(
         gidx = jnp.arange(m_loc) * n_dev + shard
         ok = gidx < count
         d2 = jnp.sum((t - ctr[None]) ** 2, axis=-1)
-        d2 = jnp.where(ok, d2, jnp.inf)
+        within = ok & (d2 <= cfg.search_radius ** 2)
+        # Per-shard position dedup (mapping.dedup_positions): cross-shard
+        # duplicates can survive (each shard dedups its own keyframes), which
+        # only adds coverage — same spirit as the reference's 1 m pose
+        # downsample before submap assembly (mapOptmization.cpp:1009-1010).
+        from ..models.mapping import dedup_positions
+        rep = dedup_positions(t, within, ctr, cfg.surrounding_leaf)
+        d2 = jnp.where(rep, d2, jnp.inf)
         sel_score, sel = jax.lax.top_k(-d2, local_sel)
         sel_ok = (-sel_score) <= cfg.search_radius ** 2
 

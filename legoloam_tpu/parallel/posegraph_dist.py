@@ -113,9 +113,15 @@ def optimize_sharded(
                 return jnp.einsum("mab,mb->ma", blocks_inv, v)
 
             bneg = -b
+            b2 = jnp.sum(bneg * bneg)
 
-            def pcg_body(_, st):
-                x, rr, p, rz = st
+            def pcg_cond(st):
+                i, x, rr, p, rz = st
+                return (i < cfg.pcg_iters) & (jnp.sum(rr * rr)
+                                              > cfg.pcg_tol * b2)
+
+            def pcg_body(st):
+                i, x, rr, p, rz = st
                 Hp = hvp(p)
                 alpha = rz / jnp.maximum(jnp.sum(p * Hp), 1e-30)
                 x = x + alpha * p
@@ -124,11 +130,12 @@ def optimize_sharded(
                 rz_new = jnp.sum(rr * z)
                 beta = rz_new / jnp.maximum(rz, 1e-30)
                 p = z + beta * p
-                return x, rr, p, rz_new
+                return i + 1, x, rr, p, rz_new
 
             z0 = precond(bneg)
-            st = (jnp.zeros((M, 6)), bneg, z0, jnp.sum(bneg * z0))
-            x, _, _, _ = jax.lax.fori_loop(0, cfg.pcg_iters, pcg_body, st)
+            st = (jnp.int32(0), jnp.zeros((M, 6)), bneg, z0,
+                  jnp.sum(bneg * z0))
+            _, x, _, _, _ = jax.lax.while_loop(pcg_cond, pcg_body, st)
 
             delta = jnp.where(node_ok[:, None], x, 0.0)
             upd = se3.se3_exp(delta)

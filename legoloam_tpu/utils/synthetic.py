@@ -196,7 +196,8 @@ def _ray_dirs(sensor: SensorConfig) -> jax.Array:
     return dirs.reshape(h * n, 3)
 
 
-@functools.partial(jax.jit, static_argnames=("sensor", "motion"))
+@functools.partial(jax.jit, static_argnames=("sensor", "motion",
+                                             "noise_sigma"))
 def raycast_scan(
     scene: Scene,
     pose: Pose,

@@ -158,3 +158,19 @@ def test_segmentation_isolated_specks_are_outliers():
     assert not bool(np.asarray(seg.segmented).any())
     lab = np.asarray(seg.label)
     assert np.all(lab[np.asarray(img.valid)] == segmentation.OUTLIER_LABEL)
+
+
+def test_projection_empty_scan():
+    """All-invalid scan: every output masked, rel_time exactly zero (the
+    empty-scan guard), segmentation survives with zero clusters."""
+    p = VLP16.n_points
+    pts = jnp.zeros((p, 3), jnp.float32)
+    valid = jnp.zeros((p,), bool)
+    ring = jnp.zeros((p,), jnp.int32)
+    img = projection.project_scan(pts, valid, VLP16, ring=ring)
+    assert not bool(jnp.any(img.valid))
+    np.testing.assert_array_equal(np.asarray(img.rel_time), 0.0)
+    assert np.all(np.isfinite(np.asarray(img.xyz)))
+    seg = segmentation.segment(img, VLP16, SegmentationConfig())
+    assert int(seg.n_clusters) == 0
+    assert not bool(jnp.any(seg.segmented))

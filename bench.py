@@ -91,10 +91,12 @@ def main():
             scans_per_step = 1
         else:
             # Block mode: B consecutive scans + one mapping step fused into a
-            # single XLA program (bit-identical to streaming — tested in
-            # tests/test_slam_block.py).  Loop closure fires on every 3rd
-            # block (scan cadence 9 ≈ the reference's 1 Hz thread).  Blocks
-            # are pre-stacked on device so the timed loop only dispatches.
+            # single XLA program (numerically equivalent to streaming —
+            # verified to 1e-5 in tests/test_slam_block.py).  Loop closure
+            # fires on every 3rd block (scan cadence 3B=9 ≈ the reference's
+            # 1 Hz thread).  Blocks are pre-stacked on device so the timed
+            # loop only dispatches.  ``k`` counts BLOCKS here: each step
+            # consumes one block = B scans.
             blocks = []
             for b in range(n_pre):
                 blk = tuple(jnp.stack([scans[(b * B + i) % n_pre][j]
@@ -104,11 +106,11 @@ def main():
             jax.block_until_ready(blocks)
 
             def step(state, scan, k):
-                blk = blocks[(k // B) % n_pre]
-                times = (jnp.arange(B, dtype=jnp.float32) + k) * 0.1
+                blk = blocks[k % n_pre]
+                times = (jnp.arange(B, dtype=jnp.float32) + k * B) * 0.1
                 return pipeline.slam_scan_block(
                     state, *blk, cfg, times,
-                    run_loop=args.loop and k % (3 * B) == 0 and k > 0)
+                    run_loop=args.loop and k % 3 == 0 and k > 0)
 
             scans_per_step = B
     else:

@@ -38,6 +38,11 @@ def main(argv=None):
     ap.add_argument("--resume", default=None, help="checkpoint to resume from")
     ap.add_argument("--checkpoint-every", type=int, default=500)
     ap.add_argument("--backend", default=None, help="cpu to force CPU")
+    ap.add_argument("--mesh", type=int, default=0, metavar="N",
+                    help="run the DISTRIBUTED pipeline over an N-device mesh "
+                         "(keyframe clouds sharded, submap all_gather, psum'd "
+                         "scan-to-map LM, sharded pose graph); 0 = "
+                         "single-device")
     ap.add_argument("--preset", default="default", choices=["default", "small"],
                     help="'small' shrinks map capacities (CPU debugging)")
     args = ap.parse_args(argv)
@@ -100,30 +105,80 @@ def main(argv=None):
                 yield jnp.asarray(xyz), jnp.asarray(valid), jnp.asarray(ring)
 
     # --- run ---
-    state = pipeline.init_slam_state(cfg)
+    mesh = None
+    if args.mesh:
+        from .parallel import mesh as mesh_mod, pipeline_dist
+        n_dev = len(jax.devices())
+        if n_dev < args.mesh:
+            ap.error(f"--mesh {args.mesh} but only {n_dev} devices visible")
+        mesh = mesh_mod.make_mesh(args.mesh)
+        if cfg.mapping.max_keyframes % args.mesh:
+            cfg = cfg.replace(mapping=dataclasses.replace(
+                cfg.mapping,
+                max_keyframes=cfg.mapping.max_keyframes
+                // args.mesh * args.mesh))
+        state = pipeline_dist.init_dist_state(cfg, mesh)
+    else:
+        state = pipeline.init_slam_state(cfg)
     if args.resume:
-        state = checkpoint.load_state(args.resume, state)
+        if mesh is not None:
+            single = pipeline.init_slam_state(cfg)
+            single = checkpoint.load_state(args.resume, single)
+            state = state._replace(
+                odom=single.odom, loops=single.loops,
+                mapping=state.mapping._replace(
+                    kf=pipeline_dist.from_keyframe_store(single.mapping.kf,
+                                                         mesh),
+                    t_bef=single.mapping.t_bef, t_aft=single.mapping.t_aft,
+                    ground_ref=single.mapping.ground_ref,
+                    ground_ref_ok=single.mapping.ground_ref_ok,
+                    initialized=single.mapping.initialized))
+        else:
+            state = checkpoint.load_state(args.resume, state)
+    def snapshot(st):
+        """Canonical single-device state (checkpoints stay interchangeable
+        between --mesh and single-device runs)."""
+        if mesh is None:
+            return st
+        single = pipeline.init_slam_state(cfg)
+        return pipeline.SlamState(
+            odom=st.odom, loops=st.loops,
+            mapping=single.mapping._replace(
+                kf=pipeline_dist.to_keyframe_store(st.mapping.kf),
+                t_bef=st.mapping.t_bef, t_aft=st.mapping.t_aft,
+                ground_ref=st.mapping.ground_ref,
+                ground_ref_ok=st.mapping.ground_ref_ok,
+                initialized=st.mapping.initialized))
+
+    sched = pipeline.LoopScheduler(cfg)
     fused_R, fused_t, times = [], [], []
     for k, scan in enumerate(scan_iter()):
         t = k * cfg.sensor.scan_period
         with timer.stage("slam_step"):
-            state, out = pipeline.slam_scan_step(
-                state, *scan, cfg, t,
-                run_mapping=not args.odometry_only
-                and (k % cfg.mapping_every == 0),
-                run_loop=cfg.loop.enabled and k % 10 == 0 and k > 0)
+            run_mapping = not args.odometry_only \
+                and (k % cfg.mapping_every == 0)
+            if mesh is not None:
+                state, out = pipeline_dist.slam_scan_step_dist(
+                    state, *scan, cfg, mesh, t,
+                    run_mapping=run_mapping, run_loop=sched.due(t))
+            else:
+                state, out = pipeline.slam_scan_step(
+                    state, *scan, cfg, t,
+                    run_mapping=run_mapping,
+                    run_loop=sched.due(t))
         fused_R.append(out.fused_pose.R)
         fused_t.append(out.fused_pose.t)
         times.append(t)
         if args.checkpoint_every and (k + 1) % args.checkpoint_every == 0:
             with timer.stage("checkpoint"):
                 checkpoint.save_state(
-                    os.path.join(args.out, "checkpoint.npz"), state)
+                    os.path.join(args.out, "checkpoint.npz"), snapshot(state))
         if (k + 1) % 100 == 0:
             print(f"[legoloam_tpu] {k + 1} scans, "
                   f"{int(state.mapping.kf.count)} keyframes", file=sys.stderr)
 
     # --- outputs ---
+    state = snapshot(state)
     fused = Pose(jnp.stack(fused_R), jnp.stack(fused_t))
     export.write_trajectory_tum(
         os.path.join(args.out, "trajectory_fused.txt"), times, fused)

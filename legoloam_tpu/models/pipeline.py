@@ -236,8 +236,10 @@ def slam_scan_block(
     With ``B = cfg.mapping_every`` this is exactly the reference cadence —
     scan-to-map runs on the first scan of each block (the 0.3 s
     ``mappingProcessInterval``), odometry + fusion run for every scan — and
-    the outputs are bit-identical to B streaming ``slam_scan_step`` calls
-    with ``run_mapping=(position == 0)``.  The packing amortizes the axon
+    the outputs are numerically equivalent to B streaming ``slam_scan_step``
+    calls with ``run_mapping=(position == 0)`` (same math; XLA may
+    reassociate float ops across the different compile boundaries — verified
+    to 1e-5 in tests/test_slam_block.py).  The packing amortizes the axon
     per-program dispatch overhead ~2(B+1)/(B+2)-fold (streaming launches
     odometry + fusion per scan plus mapping per block; this launches one
     program per block).  Loop closure, when requested, runs once after the
@@ -276,16 +278,46 @@ def slam_scan_block(
     return SlamState(odom=odom_state, mapping=map_state, loops=loops), stacked
 
 
+class LoopScheduler:
+    """Loop-closure attempt cadence on DATA time.
+
+    The reference runs closure attempts from a 1 Hz wall-clock thread
+    (``mapOptmization.cpp:802-812``); a deterministic replay has no wall
+    clock, so attempts are scheduled by scan timestamp: one attempt each time
+    ``cfg.loop.cadence`` seconds of data have elapsed since the previous
+    attempt.  Host-side (the decision becomes the static ``run_loop`` flag),
+    so cadence changes never recompile the common no-loop step."""
+
+    def __init__(self, cfg: PipelineConfig):
+        self.cadence = cfg.loop.cadence
+        self.enabled = cfg.loop.enabled
+        self._last: float | None = None
+
+    def due(self, scan_time: float) -> bool:
+        if not self.enabled:
+            return False
+        if self._last is None:
+            # First scan arms the timer; no attempt before one full period
+            # (matches the reference thread's initial sleep).
+            self._last = scan_time
+            return False
+        if scan_time - self._last >= self.cadence:
+            self._last = scan_time
+            return True
+        return False
+
+
 def run_slam_sequence(scans, cfg: PipelineConfig, times=None):
     """Host driver for the full pipeline; returns fused trajectory."""
     state = init_slam_state(cfg)
+    sched = LoopScheduler(cfg)
     fused_R, fused_t = [], []
     for k, (pts, valid, ring) in enumerate(scans):
         t = float(k) * cfg.sensor.scan_period if times is None else times[k]
         state, out = slam_scan_step(
             state, pts, valid, ring, cfg, t,
             run_mapping=(k % cfg.mapping_every == 0),
-            run_loop=cfg.loop.enabled and (k % 10 == 0) and k > 0)
+            run_loop=sched.due(t))
         fused_R.append(out.fused_pose.R)
         fused_t.append(out.fused_pose.t)
     return Pose(jnp.stack(fused_R), jnp.stack(fused_t)), state

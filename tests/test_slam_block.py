@@ -19,8 +19,8 @@ CFG = DEFAULT.replace(mapping=SMALL_MAP)
 
 def test_slam_block_matches_streaming():
     scene = synthetic.default_scene()
-    n = 6
     B = CFG.mapping_every
+    n = 2 * B   # two full blocks; streaming maps on scans 0, B, ...
     poses = synthetic.circle_trajectory(n, radius=20.0, angular_rate=0.0075)
     scans = []
     for k in range(n):
@@ -29,7 +29,7 @@ def test_slam_block_matches_streaming():
         scans.append(synthetic.raycast_scan(
             scene, pk, CFG.sensor, next_pose=nxt, motion=k + 1 < n))
 
-    # Streaming: mapping on scans 0, 3 (the reference 0.3 s cadence).
+    # Streaming: mapping on scans 0, B, ... (the reference 0.3 s cadence).
     st1 = pipeline.init_slam_state(CFG)
     stream_fused, stream_mapped = [], []
     for k, s in enumerate(scans):

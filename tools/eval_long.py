@@ -80,6 +80,7 @@ def main():
         next_pose=Pose(nx_R, nx_t), motion=True))
 
     state = pipeline.init_slam_state(cfg)
+    sched = pipeline.LoopScheduler(cfg)
     fused, odoms = [], []
     t0 = time.perf_counter()
     for k in range(n):
@@ -88,7 +89,7 @@ def main():
         state, out = pipeline.slam_scan_step(
             state, pts, valid, ring, cfg, 0.1 * k,
             run_mapping=(k % cfg.mapping_every == 0),
-            run_loop=args.loop and k % 10 == 0 and k > 0,
+            run_loop=sched.due(0.1 * k),
             imu_integral=integ)
         if (k + 1) % 100 == 0:
             np.asarray(out.fused_pose.t)   # host sync, keeps queue bounded

@@ -33,6 +33,10 @@ def main(argv=None):
     ap.add_argument("--sensor", default="vlp16",
                     choices=["vlp16", "hdl32e", "vls128", "os1_16", "os1_64"])
     ap.add_argument("--loop-closure", action="store_true")
+    ap.add_argument("--imu", default=None, metavar="FILE.imu",
+                    help="IMU1 sidecar (utils/io.py:write_imu) on the scan "
+                         "clock; enables de-skew + the IMU-seeded initial "
+                         "guess + the mapping attitude blend")
     ap.add_argument("--odometry-only", action="store_true",
                     help="skip mapping (BASELINE config 2 mode)")
     ap.add_argument("--resume", default=None, help="checkpoint to resume from")
@@ -150,22 +154,34 @@ def main(argv=None):
                 ground_ref_ok=st.mapping.ground_ref_ok,
                 initialized=st.mapping.initialized))
 
+    imu_seq = None
+    if args.imu:
+        from .ops import deskew
+        imu_seq = lio.ImuSequence.from_file(args.imu)
+
     sched = pipeline.LoopScheduler(cfg)
     fused_R, fused_t, times = [], [], []
     for k, scan in enumerate(scan_iter()):
         t = k * cfg.sensor.scan_period
+        integ = None
+        if imu_seq is not None:
+            with timer.stage("imu"):
+                integ = deskew.integrate_imu(
+                    imu_seq.window_for(t, cfg.sensor.scan_period))
         with timer.stage("slam_step"):
             run_mapping = not args.odometry_only \
                 and (k % cfg.mapping_every == 0)
             if mesh is not None:
                 state, out = pipeline_dist.slam_scan_step_dist(
                     state, *scan, cfg, mesh, t,
-                    run_mapping=run_mapping, run_loop=sched.due(t))
+                    run_mapping=run_mapping, run_loop=sched.due(t),
+                    imu_integral=integ)
             else:
                 state, out = pipeline.slam_scan_step(
                     state, *scan, cfg, t,
                     run_mapping=run_mapping,
-                    run_loop=sched.due(t))
+                    run_loop=sched.due(t),
+                    imu_integral=integ)
         fused_R.append(out.fused_pose.R)
         fused_t.append(out.fused_pose.t)
         times.append(t)

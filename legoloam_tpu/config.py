@@ -338,7 +338,9 @@ class PipelineConfig:
     mapping: MappingConfig = MappingConfig()
     loop: LoopClosureConfig = LoopClosureConfig()
     posegraph: PoseGraphConfig = PoseGraphConfig()
-    use_imu: bool = False
+    # (No use_imu flag: the IMU path is enabled by PRESENCE — pass an
+    # ``imu_integral`` to the step functions / ``--imu`` to the CLI.  A config
+    # flag duplicating that would be dead state.)
     # De-skew / intra-scan warp: when False, per-point rel_time is zeroed at
     # the projection boundary, disabling TransformToStart/End warps
     # everywhere (for pre-deskewed input clouds, or for isolating warp-model

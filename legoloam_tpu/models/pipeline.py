@@ -230,6 +230,7 @@ def slam_scan_block(
     cfg: PipelineConfig,
     scan_times: jax.Array,  # (B,)
     run_loop: bool = False,
+    imu_integrals: Optional[deskew_ops.ImuIntegral] = None,  # (B, L) leaves
 ):
     """B consecutive SLAM scans fused into ONE XLA program.
 
@@ -243,7 +244,10 @@ def slam_scan_block(
     per-program dispatch overhead ~2(B+1)/(B+2)-fold (streaming launches
     odometry + fusion per scan plus mapping per block; this launches one
     program per block).  Loop closure, when requested, runs once after the
-    block's mapping step.  The IMU path stays streaming-only."""
+    block's mapping step.  ``imu_integrals`` (each leaf stacked on a leading
+    B axis) enables the full IMU path per scan — de-skew, gyro-seeded guess,
+    mapping attitude blend — matching B streaming steps with
+    ``imu_integral`` set."""
     from . import fusion as fusion_mod
     from . import loopclosure as loop_mod
     from . import mapping as mapping_mod
@@ -253,13 +257,25 @@ def slam_scan_block(
     loops = state.loops
     outs = []
     for j in range(points.shape[0]):
-        feats = process_scan(points[j], valid[j], ring[j], cfg)
-        odom_state, pose, diag = odom.odometry_step(odom_state, feats,
-                                                    cfg.odom)
+        imu_rpy_end = None
+        if imu_integrals is not None:
+            integ_j = jax.tree.map(lambda a: a[j], imu_integrals)
+            feats, dsk = process_scan_with_imu(points[j], valid[j], ring[j],
+                                               cfg, integ_j, scan_times[j])
+            seed = imu_xi_seed(dsk, cfg.sensor.scan_period)
+            xi_seed = jnp.concatenate([seed[:3], odom_state.xi[3:]])
+            odom_state, pose, diag = odom.odometry_step(
+                odom_state, feats, cfg.odom, xi_seed=xi_seed)
+            imu_rpy_end = dsk.rpy_start + dsk.ang_delta
+        else:
+            feats = process_scan(points[j], valid[j], ring[j], cfg)
+            odom_state, pose, diag = odom.odometry_step(odom_state, feats,
+                                                        cfg.odom)
         if j == 0:
             map_state, _mapped, _mdiag = mapping_mod.mapping_step(
                 map_state, odom_state.last_corner, odom_state.last_surf,
                 odom_state.last_outlier, pose, scan_times[j], cfg.mapping,
+                imu_rpy=imu_rpy_end,
                 ground_cloud=odom_state.last_flat)
             if run_loop and cfg.loop.enabled:
                 kf, loops, corrected, ldiag = loop_mod.close_and_correct(

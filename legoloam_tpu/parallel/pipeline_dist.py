@@ -329,6 +329,7 @@ def mapping_step_dist(
     cfg: MappingConfig,
     mesh: Mesh,
     axis: str = "data",
+    imu_rpy: jax.Array | None = None,
     ground_cloud: FeatureCloud | None = None,
 ) -> Tuple[DistMapState, Pose, MappingDiag]:
     """``mapping.mapping_step`` over the mesh: identical replicated math for
@@ -368,6 +369,14 @@ def mapping_step_dist(
     if ground_cloud is not None and cfg.ground_anchor > 0:
         T, ground_ref, ground_ref_ok = mapping_mod._ground_anchor(
             T, ground_cloud, ground_ref, ground_ref_ok, cfg)
+
+    # transformUpdate: IMU roll/pitch blend (mapOptmization.cpp:463-496).
+    if imu_rpy is not None:
+        roll, pitch, yaw = se3.mat_to_euler_zyx(T.R)
+        w = cfg.imu_blend
+        roll = (1.0 - w) * roll + w * imu_rpy[0]
+        pitch = (1.0 - w) * pitch + w * imu_rpy[1]
+        T = Pose(se3.euler_zyx_to_mat(roll, pitch, yaw), T.t)
 
     # 5. saveKeyFramesAndFactor gate (replicated) + sharded cloud append.
     kf = state.kf
@@ -517,19 +526,33 @@ def slam_scan_step_dist(
     run_mapping: bool,
     run_loop: bool = False,
     axis: str = "data",
+    imu_integral=None,
 ):
     """One full SLAM step on the mesh.  The frontend + odometry are the
     sequential single-program stages (replicated); mapping and the pose graph
-    run sharded.  Mirrors ``pipeline.slam_scan_step``."""
-    odom_state, out = pipeline_mod.odometry_scan_step(
-        state.odom, points, valid, ring, cfg)
+    run sharded.  Mirrors ``pipeline.slam_scan_step`` (including its IMU
+    path: de-skew + gyro-seeded initial guess + mapping attitude blend)."""
+    imu_rpy_end = None
+    if imu_integral is not None:
+        feats, dsk = pipeline_mod.process_scan_with_imu(
+            points, valid, ring, cfg, imu_integral, scan_time)
+        seed = pipeline_mod.imu_xi_seed(dsk, cfg.sensor.scan_period)
+        xi_seed = jnp.concatenate([seed[:3], state.odom.xi[3:]])
+        odom_state, pose, diag = odom.odometry_step(
+            state.odom, feats, cfg.odom, xi_seed=xi_seed)
+        out = pipeline_mod.OdometryOutput(pose=pose, diag=diag)
+        imu_rpy_end = dsk.rpy_start + dsk.ang_delta
+    else:
+        odom_state, out = pipeline_mod.odometry_scan_step(
+            state.odom, points, valid, ring, cfg)
     map_state = state.mapping
     loops = state.loops
     if run_mapping:
         map_state, _mapped, _mdiag = mapping_step_dist(
             map_state, odom_state.last_corner, odom_state.last_surf,
             odom_state.last_outlier, out.pose, jnp.asarray(scan_time),
-            cfg.mapping, mesh, axis, ground_cloud=odom_state.last_flat)
+            cfg.mapping, mesh, axis, imu_rpy=imu_rpy_end,
+            ground_cloud=odom_state.last_flat)
     if run_loop and cfg.loop.enabled:
         kf, loops, corrected, ldiag = close_and_correct_dist(
             map_state.kf, loops, cfg.loop, cfg.posegraph, mesh, axis)

@@ -97,6 +97,99 @@ def write_kitti_bin(path, xyz: np.ndarray, valid: np.ndarray):
 
 
 # ---------------------------------------------------------------------------
+# IMU sidecar (the reference's /imu_raw topic, featureAssociation.cpp:431-459,
+# as a file: one stream per sequence, windowed per scan at load time)
+# ---------------------------------------------------------------------------
+
+_IMU_DTYPE = np.dtype([("t", "<f8"), ("rpy", "<f4", (3,)),
+                       ("acc", "<f4", (3,)), ("gyro", "<f4", (3,))])
+
+
+def write_imu(path, time, rpy, acc, gyro):
+    """IMU1 sidecar: magic + uint32 count + packed {f64 t; f32 rpy[3] (world
+    attitude); f32 acc[3] (sensor-frame specific force); f32 gyro[3]} records,
+    time-sorted.  One file covers the whole sequence (a 200 Hz hour is 26 MB).
+
+    Times must be SEQUENCE-RELATIVE seconds (same clock as the scan times the
+    driver generates, f32-safe): rebase epoch stamps (``t -= t[0]``) before
+    writing — the jitted pipeline runs float32, where epoch-sized values have
+    ~256 s resolution."""
+    time = np.asarray(time, np.float64)
+    rec = np.zeros(time.shape[0], dtype=_IMU_DTYPE)
+    rec["t"] = time
+    rec["rpy"] = np.asarray(rpy, np.float32)
+    rec["acc"] = np.asarray(acc, np.float32)
+    rec["gyro"] = np.asarray(gyro, np.float32)
+    with open(path, "wb") as f:
+        f.write(b"IMU1")
+        f.write(struct.pack("<I", rec.shape[0]))
+        f.write(rec.tobytes())
+
+
+def read_imu(path):
+    """Read an IMU1 sidecar -> (time (L,) f64, rpy (L,3), acc (L,3),
+    gyro (L,3)) NumPy arrays."""
+    with open(path, "rb") as f:
+        if f.read(4) != b"IMU1":
+            raise IOError(f"not an IMU1 sidecar: {path}")
+        (n,) = struct.unpack("<I", f.read(4))
+        rec = np.frombuffer(f.read(), dtype=_IMU_DTYPE, count=n)
+    return (rec["t"].astype(np.float64), rec["rpy"].astype(np.float32),
+            rec["acc"].astype(np.float32), rec["gyro"].astype(np.float32))
+
+
+class ImuSequence:
+    """Per-scan fixed-size windowing over a sequence IMU stream.
+
+    ``window_for(t0)`` returns the samples covering
+    ``[t0 - margin, t0 + scan_period + margin]`` as fixed-shape (L,) arrays
+    (zero-padded, masked by ``valid``) — the jit-friendly form
+    ``ops.deskew.ImuWindow`` expects.  L is static so ``integrate_imu``
+    compiles once.  The reference's equivalent is its 200-slot ring buffer
+    (imuQueLength, utility.h:109) filled by the /imu_raw callback."""
+
+    def __init__(self, time, rpy, acc, gyro, window: int = 64,
+                 margin: float = 0.05):
+        order = np.argsort(np.asarray(time))
+        self.time = np.asarray(time, np.float64)[order]
+        self.rpy = np.asarray(rpy, np.float32)[order]
+        self.acc = np.asarray(acc, np.float32)[order]
+        self.gyro = np.asarray(gyro, np.float32)[order]
+        self.window = int(window)
+        self.margin = float(margin)
+
+    @classmethod
+    def from_file(cls, path, window: int = 64, margin: float = 0.05):
+        return cls(*read_imu(path), window=window, margin=margin)
+
+    def window_for(self, t0: float, scan_period: float = 0.1):
+        """Fixed-shape window covering one scan; returns an
+        ``ops.deskew.ImuWindow`` (NumPy leaves — jit converts on call)."""
+        from ..ops.deskew import ImuWindow
+
+        lo = np.searchsorted(self.time, t0 - self.margin, side="left")
+        hi = np.searchsorted(self.time, t0 + scan_period + self.margin,
+                             side="right")
+        # Keep the window's END when oversubscribed: the interp clamps to the
+        # nearest sample, and scan-end samples matter for ang_delta.
+        if hi - lo > self.window:
+            lo = hi - self.window
+        L = self.window
+        n = hi - lo
+        time = np.zeros(L, np.float32)
+        rpy = np.zeros((L, 3), np.float32)
+        acc = np.zeros((L, 3), np.float32)
+        gyro = np.zeros((L, 3), np.float32)
+        valid = np.zeros(L, bool)
+        time[:n] = self.time[lo:hi]
+        rpy[:n] = self.rpy[lo:hi]
+        acc[:n] = self.acc[lo:hi]
+        gyro[:n] = self.gyro[lo:hi]
+        valid[:n] = True
+        return ImuWindow(time=time, rpy=rpy, acc=acc, gyro=gyro, valid=valid)
+
+
+# ---------------------------------------------------------------------------
 # Readers
 # ---------------------------------------------------------------------------
 

@@ -91,3 +91,55 @@ def test_imu_xi_seed_matches_motion():
     # so it is NOT compared against absolute motion.
     np.testing.assert_allclose(np.asarray(seed[:3]), np.asarray(gt[:3]),
                                atol=0.02)
+
+
+def test_slam_block_imu_matches_streaming():
+    """slam_scan_block with stacked per-scan IMU integrals must match B
+    streaming slam_scan_step calls with the same windows (the block fast path
+    covers BASELINE config 4's loop+IMU pipeline too)."""
+    import jax
+
+    from legoloam_tpu.utils import io as lio
+
+    scene = synthetic.default_scene()
+    B = CFG.mapping_every
+    n = 2 * B
+    poses = synthetic.circle_trajectory(n + 1, radius=18.0, angular_rate=0.009)
+    ts, rpy, acc, gyro = synthetic.make_imu(poses, scan_period=0.1)
+    seq = lio.ImuSequence(np.asarray(ts), np.asarray(rpy), np.asarray(acc),
+                          np.asarray(gyro), window=64)
+
+    scans, integs = [], []
+    for k in range(n):
+        pk = Pose(poses.R[k], poses.t[k])
+        nxt = Pose(poses.R[k + 1], poses.t[k + 1])
+        scans.append(synthetic.raycast_scan(scene, pk, CFG.sensor,
+                                            next_pose=nxt, motion=True))
+        integs.append(deskew.integrate_imu(seq.window_for(k * 0.1, 0.1)))
+
+    st1 = pipeline.init_slam_state(CFG)
+    stream = []
+    for k, s in enumerate(scans):
+        st1, out = pipeline.slam_scan_step(
+            st1, *s, CFG, k * 0.1, run_mapping=(k % B == 0),
+            imu_integral=integs[k])
+        stream.append(np.asarray(out.fused_pose.t))
+
+    st2 = pipeline.init_slam_state(CFG)
+    block = []
+    for b in range(n // B):
+        blk = tuple(jnp.stack([scans[b * B + i][j] for i in range(B)])
+                    for j in range(3))
+        times = jnp.arange(b * B, (b + 1) * B, dtype=jnp.float32) * 0.1
+        stacked = jax.tree.map(lambda *xs: jnp.stack(xs),
+                               *integs[b * B:(b + 1) * B])
+        st2, outs = pipeline.slam_scan_block(st2, *blk, CFG, times,
+                                             imu_integrals=stacked)
+        block.append(np.asarray(outs.fused_pose.t))
+    block = np.concatenate(block)
+
+    # Streaming runs separately-jitted programs; the block fuses one — XLA
+    # reassociates float ops across the boundaries and the IMU interp chain
+    # amplifies that to a few 1e-4 through the solvers.
+    np.testing.assert_allclose(block, np.stack(stream), atol=2e-3)
+    assert int(st2.mapping.kf.count) == int(st1.mapping.kf.count)

@@ -74,3 +74,37 @@ def test_loader_skips_unreadable(sample):
     loader = lio.ScanLoader([bad, good], point_cap=600)
     outs = list(loader)
     assert len(outs) == 1
+
+
+def test_imu_sidecar_roundtrip(tmp_path_factory):
+    """write_imu/read_imu invert; ImuSequence windows are fixed-shape, masked,
+    and hold the right samples for a scan interval."""
+    d = tmp_path_factory.mktemp("imu")
+    rng = np.random.default_rng(1)
+    L = 400                          # 2 s at 200 Hz
+    t = np.arange(L) / 200.0
+    rpy = rng.normal(0, 0.1, (L, 3)).astype(np.float32)
+    acc = rng.normal(0, 1.0, (L, 3)).astype(np.float32)
+    gyro = rng.normal(0, 0.2, (L, 3)).astype(np.float32)
+    path = d / "seq.imu"
+    lio.write_imu(path, t, rpy, acc, gyro)
+    t2, rpy2, acc2, gyro2 = lio.read_imu(path)
+    np.testing.assert_allclose(t2, t, atol=1e-9)
+    np.testing.assert_array_equal(rpy2, rpy)
+    np.testing.assert_array_equal(acc2, acc)
+    np.testing.assert_array_equal(gyro2, gyro)
+
+    seq = lio.ImuSequence.from_file(path, window=64, margin=0.05)
+    w = seq.window_for(1.0, scan_period=0.1)
+    assert w.time.shape == (64,) and w.rpy.shape == (64, 3)
+    n_valid = int(w.valid.sum())
+    # [0.95, 1.15] at 200 Hz = 41 samples (inclusive ends).
+    assert 39 <= n_valid <= 42, n_valid
+    assert w.time[0] >= 0.95 - 1e-6 and w.time[n_valid - 1] <= 1.15 + 1e-6
+    # Padded tail is masked out.
+    assert not w.valid[n_valid:].any()
+    # Window END is kept when oversubscribed.
+    seq_small = lio.ImuSequence.from_file(path, window=16, margin=0.05)
+    w2 = seq_small.window_for(1.0, scan_period=0.1)
+    assert int(w2.valid.sum()) == 16
+    assert abs(w2.time[15] - 1.15) < 0.01

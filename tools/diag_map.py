@@ -43,6 +43,9 @@ def main():
                     help="override mapping prior_rot_std_deg")
     ap.add_argument("--trans-std", type=float, default=None,
                     help="override mapping prior_trans_std")
+    ap.add_argument("--set", action="append", default=[], metavar="K=V",
+                    help="override any MappingConfig field, e.g. "
+                         "--set surrounding_leaf=0.01 --set ground_anchor=0")
     args = ap.parse_args()
     if args.radius is None:
         args.radius = 30.0 if args.world == "loop" else 26.0
@@ -70,6 +73,11 @@ def main():
         m = dataclasses.replace(m, prior_rot_std_deg=args.rot_std)
     if args.trans_std is not None:
         m = dataclasses.replace(m, prior_trans_std=args.trans_std)
+    for kv in args.set:
+        key, val = kv.split("=", 1)
+        cur = getattr(m, key)
+        m = dataclasses.replace(m, **{key: type(cur)(
+            float(val) if not isinstance(cur, bool) else val == "True")})
     cfg = cfg.replace(mapping=m)
     scene = (synthetic.loop_scene() if args.world == "loop"
              else synthetic.default_scene())

@@ -45,6 +45,12 @@ def main():
                          "XLA program (identical math to streaming; measured "
                          "~5%% slower on axon, whose async dispatch already "
                          "pipelines the per-scan launches)")
+    ap.add_argument("--grow", type=int, default=0, metavar="N",
+                    help="scale-realistic mode: N DISTINCT ring-world scans "
+                         "through full SLAM with default caps — the map "
+                         "grows to hundreds of keyframes instead of cycling "
+                         "12 pre-staged scans.  Prints scans/s at keyframe-"
+                         "count milestones (stderr) + one summary JSON line")
     args = ap.parse_args()
     args.mapping = not args.odometry
 
@@ -59,6 +65,66 @@ def main():
     from legoloam_tpu.utils import synthetic
 
     cfg = DEFAULT
+
+    if args.grow:
+        import sys
+
+        import numpy as np
+
+        def sync_now(st):
+            np.asarray(jax.tree.leaves(st)[0]).ravel()[:1]
+
+        scene = synthetic.loop_scene()
+        n = args.grow
+        poses = synthetic.circle_trajectory(n + 1, radius=30.0,
+                                            angular_rate=0.009)
+        ray = jax.jit(lambda a, b, c, d: synthetic.raycast_scan(
+            scene, Pose(a, b), cfg.sensor, next_pose=Pose(c, d), motion=True))
+        print(f"[grow] staging {n} distinct scans on device...",
+              file=sys.stderr)
+        scans = [ray(poses.R[k], poses.t[k], poses.R[k + 1], poses.t[k + 1])
+                 for k in range(n)]
+        jax.block_until_ready(scans)
+        sync_now(scans[-1])
+
+        state = pipeline.init_slam_state(cfg)
+        # Warmup both step variants on a throwaway state.
+        for k in range(4):
+            state, _ = pipeline.slam_scan_step(
+                state, *scans[k], cfg, 0.1 * k,
+                run_mapping=(k % cfg.mapping_every == 0))
+        sync_now(state)
+        state = pipeline.init_slam_state(cfg)
+
+        window = 128
+        t_all0 = time.perf_counter()
+        t0 = time.perf_counter()
+        for k in range(n):
+            state, out = pipeline.slam_scan_step(
+                state, *scans[k], cfg, 0.1 * k,
+                run_mapping=(k % cfg.mapping_every == 0))
+            if (k + 1) % window == 0:
+                sync_now(state)
+                dt = time.perf_counter() - t0
+                kf = int(state.mapping.kf.count)
+                mem = jax.local_devices()[0].memory_stats() or {}
+                peak = mem.get("peak_bytes_in_use", 0) / 2**30
+                print(f"[grow] scans {k + 1 - window}-{k + 1}: "
+                      f"{window / dt:7.1f} scans/s   kf={kf:4d}   "
+                      f"peak_hbm={peak:.2f} GiB", file=sys.stderr)
+                t0 = time.perf_counter()
+        sync_now(state)
+        total_dt = time.perf_counter() - t_all0
+        dev = jax.devices()[0].platform
+        print(json.dumps({
+            "metric": f"slam_grow{n}_scans_per_sec (ring world, growing map, "
+                      f"{dev})",
+            "value": round(n / total_dt, 2),
+            "unit": "scans/sec",
+            "vs_baseline": round(n / total_dt / 10.0, 2),
+        }))
+        return
+
     scene = synthetic.default_scene()
     n_pre = 12  # distinct scans, cycled (content doesn't affect timing)
     poses = synthetic.circle_trajectory(n_pre + 1, radius=20.0,

@@ -41,6 +41,11 @@ def main(argv=None):
                     help="skip mapping (BASELINE config 2 mode)")
     ap.add_argument("--resume", default=None, help="checkpoint to resume from")
     ap.add_argument("--checkpoint-every", type=int, default=500)
+    ap.add_argument("--map-every", type=int, default=2000, metavar="N",
+                    help="export the downsampled global map every N scans "
+                         "during the run (the reference publishes it at "
+                         "0.2 Hz, mapOptmization.cpp:758-800); 0 = only at "
+                         "the end")
     ap.add_argument("--backend", default=None, help="cpu to force CPU")
     ap.add_argument("--mesh", type=int, default=0, metavar="N",
                     help="run the DISTRIBUTED pipeline over an N-device mesh "
@@ -189,6 +194,14 @@ def main(argv=None):
             with timer.stage("checkpoint"):
                 checkpoint.save_state(
                     os.path.join(args.out, "checkpoint.npz"), snapshot(state))
+        if args.map_every and (k + 1) % args.map_every == 0:
+            with timer.stage("map_export"):
+                kf_now = snapshot(state).mapping.kf
+                if int(kf_now.count):
+                    pts, val = export.assemble_global_map(kf_now)
+                    export.write_pcd(
+                        os.path.join(args.out, "global_map.pcd"),
+                        np.asarray(pts), np.asarray(val))
         if (k + 1) % 100 == 0:
             print(f"[legoloam_tpu] {k + 1} scans, "
                   f"{int(state.mapping.kf.count)} keyframes", file=sys.stderr)

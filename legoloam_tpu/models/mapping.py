@@ -187,7 +187,7 @@ def extract_submap(kf: KeyframeStore, center: jax.Array, cfg: MappingConfig,
     def gather(cloud, valid):
         pts = cloud[sel]                       # (S, C, 3)
         v = valid[sel] & sel_ok[:, None]
-        world = jnp.einsum("sij,scj->sci", kf.R[sel], pts) + kf.t[sel][:, None]
+        world = se3.transform_points(Pose(kf.R[sel], kf.t[sel]), pts)
         return world.reshape(-1, 3), v.reshape(-1)
 
     cpts, cval = gather(kf.corner, kf.corner_valid)

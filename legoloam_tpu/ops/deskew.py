@@ -149,11 +149,14 @@ def deskew_image(
     dt = t_pt - scan_start_time
     shift_from_start = shift_p - shift_s - velo_s * dt[..., None]
 
+    from .se3 import rotate_vec
+
     R_s = euler_zyx_to_mat(rpy_s[0], rpy_s[1], rpy_s[2])
     R_p = euler_zyx_to_mat(rpy_p[..., 0], rpy_p[..., 1], rpy_p[..., 2])
-    # p' = R_s^T R_p p + R_s^T shift_from_start
-    p_rot = jnp.einsum("ij,nhjk,nhk->nhi", R_s.T, R_p, xyz)
-    p_corr = p_rot + jnp.einsum("ij,nhj->nhi", R_s.T, shift_from_start)
+    # p' = R_s^T R_p p + R_s^T shift_from_start  (rotate_vec: exact-f32 VPU
+    # form — K=3 einsums hit the MXU's bf16 default precision, see ops/se3.py)
+    p_rot = rotate_vec(R_s.T, rotate_vec(R_p, xyz))
+    p_corr = p_rot + rotate_vec(R_s.T, shift_from_start)
     out = jnp.where(cell_valid[..., None], p_corr, xyz)
 
     return DeskewResult(

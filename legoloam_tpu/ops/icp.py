@@ -17,6 +17,7 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
+from . import se3
 from .se3 import Pose
 from .voxel import knn
 
@@ -48,7 +49,7 @@ def icp(
                   and dst.shape[0] <= (1 << 16))
 
     def corr_stats(T: Pose):
-        moved = jnp.einsum("ij,nj->ni", T.R, src) + T.t
+        moved = se3.transform_points(T, src)
         if use_pallas:
             from .knn_pallas import knn_pallas
             d, i = knn_pallas(moved, src_valid, dst, dst_valid, k=1)

@@ -49,24 +49,43 @@ class Pose(NamedTuple):
         return jnp.concatenate([top, bottom[..., None, :]], axis=-2)
 
 
+def rotate_vec(R: jax.Array, v: jax.Array) -> jax.Array:
+    """``R (..., 3, 3) @ v (..., 3)`` as the explicit 9-term expansion.
+
+    Deliberately NOT a matmul/einsum: a K=3 contraction pads the 128x128 MXU
+    to ~0.05% utilization AND inherits the backend's default matmul precision
+    — on TPU that truncates f32 to bf16, which at world coordinates ~70 m is
+    ~0.1 m of quantization per transformed point (the root cause of the
+    ring-world mapping runaway; see ``legoloam_tpu/__init__``).  The VPU
+    elementwise form is exact f32 and faster."""
+    return jnp.stack([
+        R[..., 0, 0] * v[..., 0] + R[..., 0, 1] * v[..., 1]
+        + R[..., 0, 2] * v[..., 2],
+        R[..., 1, 0] * v[..., 0] + R[..., 1, 1] * v[..., 1]
+        + R[..., 1, 2] * v[..., 2],
+        R[..., 2, 0] * v[..., 0] + R[..., 2, 1] * v[..., 1]
+        + R[..., 2, 2] * v[..., 2],
+    ], axis=-1)
+
+
 def compose(a: Pose, b: Pose) -> Pose:
     """a ∘ b: apply b first, then a."""
-    return Pose(a.R @ b.R, jnp.einsum("...ij,...j->...i", a.R, b.t) + a.t)
+    return Pose(a.R @ b.R, rotate_vec(a.R, b.t) + a.t)
 
 
 def inverse(p: Pose) -> Pose:
     Rt = jnp.swapaxes(p.R, -1, -2)
-    return Pose(Rt, -jnp.einsum("...ij,...j->...i", Rt, p.t))
+    return Pose(Rt, -rotate_vec(Rt, p.t))
 
 
 def transform_points(p: Pose, pts: jax.Array) -> jax.Array:
     """Apply pose (batch ``...``) to a cloud ``(..., N, 3)``."""
-    return jnp.einsum("...ij,...nj->...ni", p.R, pts) + p.t[..., None, :]
+    return rotate_vec(p.R[..., None, :, :], pts) + p.t[..., None, :]
 
 
 def apply(p: Pose, x: jax.Array) -> jax.Array:
     """Apply pose to per-item points ``(..., 3)`` (pose batch dims match)."""
-    return jnp.einsum("...ij,...j->...i", p.R, x) + p.t
+    return rotate_vec(p.R, x) + p.t
 
 
 def relative(a: Pose, b: Pose) -> Pose:
@@ -164,7 +183,7 @@ def se3_exp(xi: jax.Array) -> Pose:
     """xi = (..., 6) [w | v] twist -> Pose."""
     w, v = xi[..., :3], xi[..., 3:]
     R = so3_exp(w)
-    t = jnp.einsum("...ij,...j->...i", _left_jacobian(w), v)
+    t = rotate_vec(_left_jacobian(w), v)
     return Pose(R, t)
 
 

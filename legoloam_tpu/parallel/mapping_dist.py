@@ -30,6 +30,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import MappingConfig
 from ..models.mapping import KeyframeStore
+from ..ops import se3
+from ..ops.se3 import Pose as SE3Pose
 from ..ops.voxel import voxel_downsample
 
 
@@ -109,7 +111,7 @@ def extract_submap_sharded(
         def gather(cloud, valid, cap, leaf):
             pts = cloud[sel]
             v = valid[sel] & sel_ok[:, None]
-            world = jnp.einsum("sij,scj->sci", R[sel], pts) + t[sel][:, None]
+            world = se3.transform_points(SE3Pose(R[sel], t[sel]), pts)
             # Morton origin: each shard's slice of the concatenated submap is
             # then spatially sorted, which the culled kNN kernel exploits.
             return voxel_downsample(world.reshape(-1, 3), v.reshape(-1),

@@ -229,8 +229,7 @@ def extract_submap_dist(kf: DistKeyframes, center: jax.Array,
         def gather(cloud, valid, cap, leaf):
             pts = cloud[sel]
             v = valid[sel] & sel_ok[:, None]
-            world = jnp.einsum("sij,scj->sci", R_loc[sel], pts) \
-                + t_loc[sel][:, None]
+            world = se3.transform_points(Pose(R_loc[sel], t_loc[sel]), pts)
             return voxel_downsample(world.reshape(-1, 3), v.reshape(-1),
                                     leaf, cap, origin=ctr)
 

@@ -37,4 +37,4 @@ def test_block_matches_streaming():
 
     np.testing.assert_allclose(block_poses, np.stack(stream_poses), atol=1e-5)
     np.testing.assert_allclose(np.asarray(st2.xi), np.asarray(st1.xi),
-                               atol=1e-6)
+                               atol=1e-5)

@@ -100,6 +100,8 @@ def main():
     print(f"{'k':>4} {'|guess err|':>11} {'|mapped err|':>12} {'odom err':>9} "
           f"{'nC':>5} {'nS':>6} {'it':>3} {'subC':>6} {'subS':>6} "
           f"{'kf':>4} {'rebuilt':>7}")
+    prev_map_k = None      # (scan index, odom pose) at the previous mapping
+    prev_odom = None
     for k in range(n):
         pts, valid, ring = ray(poses.R[k], poses.t[k],
                                poses.R[k + 1], poses.t[k + 1])
@@ -135,12 +137,40 @@ def main():
             o_r = rot_err_deg(out.pose.R)
             rebuilt = not np.allclose(np.asarray(map_state.cache.origin),
                                       origin_before)
+            # Error vector in the GT heading frame (fwd/left/up), offset-free.
+            gt_rel = np.asarray(poses.t[k]) - np.asarray(poses.t[0])
+            d = np.asarray(mapped_pose.t) - gt_rel
+            Rk = np.asarray(poses.R[k])
+            e_fwd, e_left, e_up = float(d @ Rk[:, 0]), float(d @ Rk[:, 1]), \
+                float(d[2])
+            # Attribution: odometry-DELTA translation error over this mapping
+            # window (the noise the guess inherits from odometry), plus the
+            # GUESS-STEP error: how far the projected guess moved vs the true
+            # world-frame motion since the previous mapped pose.
+            d_odo_err = 0.0
+            guess_step_err = 0.0
+            if prev_map_k is not None:
+                pk = prev_map_k
+                gt_d = np.asarray(poses.R[pk]).T @ (
+                    np.asarray(poses.t[k]) - np.asarray(poses.t[pk]))
+                oR = np.asarray(prev_odom.R)
+                od_d = oR.T @ (np.asarray(out.pose.t)
+                               - np.asarray(prev_odom.t))
+                d_odo_err = float(np.linalg.norm(od_d - gt_d))
+                gt_d_world = np.asarray(poses.t[k]) - np.asarray(poses.t[pk])
+                guess_step = np.asarray(guess.t) - np.asarray(prev_mapped_t)
+                guess_step_err = float(np.linalg.norm(guess_step
+                                                      - gt_d_world))
+            prev_map_k, prev_odom = k, out.pose
+            prev_mapped_t = np.asarray(mapped_pose.t)
             print(f"{k:4d} {g_err:11.3f} {m_err:12.3f} {o_err:9.3f} "
                   f"{int(mdiag.n_corner_res):5d} {int(mdiag.n_surf_res):6d} "
                   f"{int(mdiag.iters):3d} {int(mdiag.n_submap_corner):6d} "
                   f"{int(mdiag.n_submap_surf):6d} "
                   f"{int(map_state.kf.count):4d} {str(rebuilt):>7}"
-                  f"  rot(g/m/o)deg={g_r:5.2f}/{m_r:5.2f}/{o_r:5.2f}",
+                  f"  rot(g/m/o)deg={g_r:5.2f}/{m_r:5.2f}/{o_r:5.2f}"
+                  f"  e(f/l/u)=({e_fwd:+7.2f},{e_left:+7.2f},{e_up:+6.2f})"
+                  f"  dOdo={d_odo_err:6.3f} gStep={guess_step_err:6.3f}",
                   flush=True)
         state = pipeline.SlamState(odom=odom_state, mapping=map_state,
                                    loops=state.loops)

@@ -107,7 +107,9 @@ def main():
     drift_f = float(np.linalg.norm(fused[-1] - gt[-1]))
     drift_o = float(np.linalg.norm(odoms[-1] - gt[-1]))
     path_len = float(np.sum(np.linalg.norm(np.diff(gt, axis=0), axis=1)))
-    print(f"scans {n}, keyframes {kf}, path {path_len:.0f} m")
+    n_loops = int(state.loops.count)
+    print(f"scans {n}, keyframes {kf}, path {path_len:.0f} m, "
+          f"loop closures {n_loops}")
     print(f"ATE RMSE  odometry-only: {ate_o:.4f} m   fused: {ate_f:.4f} m")
     print(f"end drift odometry-only: {drift_o:.4f} m ({100 * drift_o / path_len:.3f}%)"
           f"   fused: {drift_f:.4f} m ({100 * drift_f / path_len:.3f}%)")

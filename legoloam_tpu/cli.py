@@ -122,10 +122,14 @@ def main(argv=None):
             ap.error(f"--mesh {args.mesh} but only {n_dev} devices visible")
         mesh = mesh_mod.make_mesh(args.mesh)
         if cfg.mapping.max_keyframes % args.mesh:
+            rounded = cfg.mapping.max_keyframes // args.mesh * args.mesh
+            print(f"warning: --mesh {args.mesh} does not divide "
+                  f"max_keyframes={cfg.mapping.max_keyframes}; capacity "
+                  f"rounded down to {rounded} (checkpoints saved at the "
+                  f"original capacity will not resume under this mesh)",
+                  file=sys.stderr)
             cfg = cfg.replace(mapping=dataclasses.replace(
-                cfg.mapping,
-                max_keyframes=cfg.mapping.max_keyframes
-                // args.mesh * args.mesh))
+                cfg.mapping, max_keyframes=rounded))
         state = pipeline_dist.init_dist_state(cfg, mesh)
     else:
         state = pipeline.init_slam_state(cfg)
@@ -153,7 +157,7 @@ def main(argv=None):
         return pipeline.SlamState(
             odom=st.odom, loops=st.loops,
             mapping=single.mapping._replace(
-                kf=pipeline_dist.to_keyframe_store(st.mapping.kf),
+                kf=pipeline_dist.to_keyframe_store(st.mapping.kf, mesh),
                 t_bef=st.mapping.t_bef, t_aft=st.mapping.t_aft,
                 ground_ref=st.mapping.ground_ref,
                 ground_ref_ok=st.mapping.ground_ref_ok,

@@ -309,9 +309,14 @@ class PoseGraphConfig:
 
     Instead of reproducing iSAM2's incremental Bayes-tree bookkeeping we re-solve
     the full graph with matrix-free Gauss-Newton + preconditioned CG each time a
-    loop factor arrives (and a cheap warm-started couple of iterations otherwise).
-    At <=20K poses a full re-solve is microseconds-scale on TPU and strictly more
-    accurate than incremental relinearization.
+    loop factor arrives (models/loopclosure.py:close_and_correct).  Between loop
+    factors no solve runs at all: with only prior + chain factors the graph's
+    residual is exactly zero at the current estimate (each keyframe pose IS the
+    composition of its chain measurements), so the reference's per-keyframe
+    ``isam->update`` would return the input unchanged — see
+    COMPONENTS.md's deviation list.  At <=20K poses a full re-solve is
+    microseconds-scale on TPU and strictly more accurate than incremental
+    relinearization.
     """
 
     # gtsam noiseModel VARIANCES (mapOptmization.cpp:347-350): rot 1e-6,

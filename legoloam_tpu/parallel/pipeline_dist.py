@@ -161,14 +161,24 @@ def from_keyframe_store(kf, mesh: Mesh, axis: str = "data") -> DistKeyframes:
         count=jax.device_put(kf.count, rep))
 
 
-def to_keyframe_store(kf: DistKeyframes):
+def to_keyframe_store(kf: DistKeyframes, mesh: Mesh | None = None):
     """Inverse of ``from_keyframe_store`` (host-side, for export/checkpoint):
-    un-permute the cloud axis back to keyframe order."""
+    un-permute the cloud axis back to keyframe order.
+
+    The cyclic stride is ``mesh.size`` when given; otherwise it is inferred
+    from ``kf.corner.sharding``.  Inference failing on a sharded array would
+    silently shuffle keyframe order, so an array that carries no
+    mesh-exposing sharding (e.g. a GSPMD-sharded transform output) is an
+    error unless ``mesh`` is passed explicitly."""
     from ..models.mapping import KeyframeStore
-    n_dev = 1
-    # Infer the cyclic stride from the sharding if present.
-    sh = getattr(kf.corner, "sharding", None)
-    if sh is not None and hasattr(sh, "mesh"):
+    if mesh is not None:
+        n_dev = int(mesh.size)
+    else:
+        sh = getattr(kf.corner, "sharding", None)
+        if sh is None or not hasattr(sh, "mesh"):
+            raise ValueError(
+                "to_keyframe_store: cannot infer the cyclic shard stride "
+                "from kf.corner.sharding; pass mesh= explicitly")
         n_dev = int(sh.mesh.size) or 1
     m = kf.t.shape[0]
     perm = _cloud_perm(m, n_dev)
@@ -193,7 +203,13 @@ def extract_submap_dist(kf: DistKeyframes, center: jax.Array,
     mapOptmization.cpp:1009-1010)."""
     n_dev = mesh.shape[axis]
     m = kf.t.shape[0]
-    local_sel = max(1, min(cfg.search_num, m // n_dev))
+    # Per-shard selection budget ~ search_num/n_dev with a small overlap
+    # margin (cross-shard position dedup can keep one duplicate per cell per
+    # shard; the margin absorbs mild imbalance of the cyclic layout).  Keeps
+    # the TOTAL selection budget comparable to the single-device
+    # extract_submap instead of growing N-fold with the mesh.
+    local_sel = -(-cfg.search_num // n_dev) + 4
+    local_sel = max(1, min(local_sel, m // n_dev))
     # Per-shard voxel caps, floored at one scan's cloud cap: when keyframes
     # are fewer than shards (startup, small maps) a shard may hold a SINGLE
     # keyframe whose cloud alone exceeds submap_cap/n_dev — without the floor

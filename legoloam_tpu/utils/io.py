@@ -115,11 +115,12 @@ def write_imu(path, time, rpy, acc, gyro):
     writing — the jitted pipeline runs float32, where epoch-sized values have
     ~256 s resolution."""
     time = np.asarray(time, np.float64)
+    order = np.argsort(time, kind="stable")    # keep the docstring's promise:
     rec = np.zeros(time.shape[0], dtype=_IMU_DTYPE)
-    rec["t"] = time
-    rec["rpy"] = np.asarray(rpy, np.float32)
-    rec["acc"] = np.asarray(acc, np.float32)
-    rec["gyro"] = np.asarray(gyro, np.float32)
+    rec["t"] = time[order]
+    rec["rpy"] = np.asarray(rpy, np.float32)[order]
+    rec["acc"] = np.asarray(acc, np.float32)[order]
+    rec["gyro"] = np.asarray(gyro, np.float32)[order]
     with open(path, "wb") as f:
         f.write(b"IMU1")
         f.write(struct.pack("<I", rec.shape[0]))

@@ -38,6 +38,8 @@ def main():
     ap.add_argument("--traj", default="circle", choices=["circle", "figure8"],
                     help="figure8: equal left/right turning (cancels "
                          "rotation-coupled sampling bias; revisits origin)")
+    ap.add_argument("--save", default=None,
+                    help="write trajectories (fused/odom/mapped/gt R+t) to NPZ")
     args = ap.parse_args()
     if args.radius is None:
         args.radius = 30.0 if args.world == "loop" else 26.0
@@ -82,6 +84,7 @@ def main():
     state = pipeline.init_slam_state(cfg)
     sched = pipeline.LoopScheduler(cfg)
     fused, odoms = [], []
+    fused_R, odom_R, mapped_t = [], [], []
     t0 = time.perf_counter()
     for k in range(n):
         pts, valid, ring = ray(poses.R[k], poses.t[k],
@@ -97,9 +100,23 @@ def main():
                   flush=True)
         fused.append(out.fused_pose.t)
         odoms.append(out.odom_pose.t)
+        if args.save:
+            fused_R.append(out.fused_pose.R)
+            odom_R.append(out.odom_pose.R)
+            mapped_t.append(out.mapped_pose.t)
     fused = np.asarray(jnp.stack(fused))
     odoms = np.asarray(jnp.stack(odoms))
     gt = np.asarray(poses.t)[:n]
+    if args.save:
+        np.savez(args.save,
+                 fused_t=fused, odom_t=odoms, gt_t=gt,
+                 fused_R=np.asarray(jnp.stack(fused_R)),
+                 odom_R=np.asarray(jnp.stack(odom_R)),
+                 mapped_t=np.asarray(jnp.stack(mapped_t)),
+                 gt_R=np.asarray(poses.R)[:n],
+                 kf_t=np.asarray(state.mapping.kf.t),
+                 kf_count=int(state.mapping.kf.count))
+        print(f"saved trajectories -> {args.save}")
 
     ate_f = float(metrics.ate_rmse(jnp.asarray(fused), jnp.asarray(gt)))
     ate_o = float(metrics.ate_rmse(jnp.asarray(odoms), jnp.asarray(gt)))

@@ -177,6 +177,18 @@ class OdometryConfig:
     # 0.027 -> 0.016 m mean at 0.5 on the courtyard benchmark, identical on
     # undistorted scans.
     warp_blend: float = 0.5
+    # PluginIMURotation analogue (featureAssociation.cpp:955-1013, called from
+    # integrateTransformation 1697-1725).  The reference de-rotates points to
+    # scan-start IMU attitude (TransformToStartIMU), so its LM rotation covers
+    # only the residual and PluginIMURotation composes the IMU-measured
+    # intra-scan rotation back into the accumulated attitude — net effect:
+    # attitude increment = IMU increment + matching residual.  Here de-skew
+    # keeps the full motion in the data and the gyro SEEDS the solve, so the
+    # increment is the estimate alone; this blend pulls the solved per-scan
+    # rotation toward the gyro-integrated increment (ang_delta):
+    # xi_rot <- (1-b)*xi_rot + b*gyro_delta.  0 disables (pure estimate);
+    # 1 reproduces the reference's trust-the-IMU-increment behavior.
+    imu_rotation_blend: float = 0.0
 
 
 @dataclasses.dataclass(frozen=True)

@@ -241,11 +241,16 @@ def odometry_step(
     feats: ScanFeatures,
     cfg: OdometryConfig,
     xi_seed: jax.Array | None = None,
+    imu_rot: jax.Array | None = None,
 ) -> Tuple[OdometryState, Pose, OdometryDiag]:
     """Process one scan's features; returns (new state, world pose at scan end,
     diagnostics).  ``xi_seed`` optionally overrides the constant-velocity prior
     with an IMU-derived initial guess (updateInitialGuess,
-    featureAssociation.cpp:1639-1664)."""
+    featureAssociation.cpp:1639-1664).  ``imu_rot`` is the gyro-integrated
+    rotation increment over the scan; with
+    ``cfg.imu_rotation_blend`` > 0 the solved per-scan rotation is pulled
+    toward it (PluginIMURotation analogue, featureAssociation.cpp:955-1013 —
+    see OdometryConfig.imu_rotation_blend)."""
     xi0 = state.xi if xi_seed is None else xi_seed
 
     can_solve = (
@@ -264,6 +269,13 @@ def odometry_step(
         _CORNER_DOF, is_line=True)
 
     xi = jnp.where(can_solve, xi_b, xi0)
+
+    # PluginIMURotation analogue: blend the solved rotation increment toward
+    # the gyro-integrated one (small angles, ~5e-2 rad — linear blend of the
+    # rotation vectors matches the exact log/exp blend to O(angle^3)).
+    if imu_rot is not None and cfg.imu_rotation_blend > 0:
+        b = cfg.imu_rotation_blend
+        xi = xi.at[:3].set((1.0 - b) * xi[:3] + b * imu_rot)
 
     # integrateTransformation (featureAssociation.cpp:1697-1725):
     # world pose advances by the scan motion.

@@ -185,7 +185,8 @@ def slam_scan_step(
         seed = imu_xi_seed(dsk, cfg.sensor.scan_period)
         xi_seed = jnp.concatenate([seed[:3], state.odom.xi[3:]])
         odom_state, pose, diag = odom.odometry_step(
-            state.odom, feats, cfg.odom, xi_seed=xi_seed)
+            state.odom, feats, cfg.odom, xi_seed=xi_seed,
+            imu_rot=dsk.ang_delta)
         out = OdometryOutput(pose=pose, diag=diag)
         imu_rpy_end = dsk.rpy_start + dsk.ang_delta
     else:
@@ -265,7 +266,8 @@ def slam_scan_block(
             seed = imu_xi_seed(dsk, cfg.sensor.scan_period)
             xi_seed = jnp.concatenate([seed[:3], odom_state.xi[3:]])
             odom_state, pose, diag = odom.odometry_step(
-                odom_state, feats, cfg.odom, xi_seed=xi_seed)
+                odom_state, feats, cfg.odom, xi_seed=xi_seed,
+                imu_rot=dsk.ang_delta)
             imu_rpy_end = dsk.rpy_start + dsk.ang_delta
         else:
             feats = process_scan(points[j], valid[j], ring[j], cfg)

@@ -246,7 +246,7 @@ def update_submap_cache(cache: SubmapCache, kf: KeyframeStore,
 
         def merge(cached_pts, cached_cnt, cached_valid, cloud, cloud_valid,
                   leaf, cap):
-            world = cloud @ R.T + t[None, :]
+            world = se3.apply(Pose(R, t), cloud)
             pts = jnp.concatenate([cached_pts, world], axis=0)
             w = jnp.concatenate(
                 [cached_cnt,
@@ -515,10 +515,11 @@ def _ground_anchor(T: Pose, ground: FeatureCloud, ref_h, ref_ok,
     blend = jnp.float32(cfg.ground_anchor)
     Rc = se3.so3_exp(axis * angle * blend)
     t_rot = T.t                                # rotation center = pose position
-    T_rot = Pose(Rc @ T.R, Rc @ (T.t - t_rot) + t_rot)
+    T_rot = Pose(se3.mat3_mul(Rc, T.R),
+                 se3.rotate_vec(Rc, T.t - t_rot) + t_rot)
 
     # Height: plane height at the pose position, after the rotation.
-    h = c[2] + (Rc @ (c - t_rot) + t_rot - c)[2]
+    h = c[2] + (se3.rotate_vec(Rc, c - t_rot) + t_rot - c)[2]
     new_ref = jnp.where(ref_ok, ref_h, h)
     dz = (new_ref - h) * blend
     T_anch = Pose(T_rot.R, T_rot.t + jnp.array([0.0, 0.0, 1.0]) * dz)
@@ -611,6 +612,12 @@ def mapping_step(
         roll = (1.0 - w) * roll + w * imu_rpy[0]
         pitch = (1.0 - w) * pitch + w * imu_rpy[1]
         T = Pose(se3.euler_zyx_to_mat(roll, pitch, yaw), T.t)
+
+    # Orthonormality insurance on the accumulated mapped rotation: T chains
+    # guess-projection composes + LM retracts every mapping step; projecting
+    # here bounds f32 rounding drift before T enters the keyframe store and
+    # the next step's correction (see se3.so3_project).
+    T = Pose(se3.so3_project(T.R), T.t)
 
     # 5. saveKeyFramesAndFactor gate: moved >= keyframe_dist since last KF
     # (mapOptmization.cpp:1360-1364); the first frame always becomes one.

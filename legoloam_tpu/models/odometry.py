@@ -278,11 +278,15 @@ def odometry_step(
         xi = xi.at[:3].set((1.0 - b) * xi[:3] + b * imu_rot)
 
     # integrateTransformation (featureAssociation.cpp:1697-1725):
-    # world pose advances by the scan motion.
+    # world pose advances by the scan motion.  so3_project keeps the
+    # ACCUMULATED rotation orthonormal: per-compose f32 rounding would
+    # otherwise random-walk over 20K-scan runs (see se3.so3_project).
     motion = se3.se3_exp(xi)
+    integrated = se3.compose(state.pose, motion)
+    integrated = Pose(se3.so3_project(integrated.R), integrated.t)
     new_pose = jax.tree.map(
         lambda a, b: jnp.where(state.initialized, a, b),
-        se3.compose(state.pose, motion), state.pose)
+        integrated, state.pose)
 
     # publishCloudsLast (featureAssociation.cpp:1759-1815): warp this scan's
     # broad feature sets to scan end; they become the next scan's reference.

@@ -73,7 +73,7 @@ def _adjoint(p: Pose) -> jax.Array:
     R = p.R
     tx = se3.hat(p.t)
     top = jnp.concatenate([R, jnp.zeros_like(R)], axis=-1)
-    bot = jnp.concatenate([tx @ R, R], axis=-1)
+    bot = jnp.concatenate([se3.mat3_mul(tx, R), R], axis=-1)
     return jnp.concatenate([top, bot], axis=-2)
 
 
@@ -215,8 +215,8 @@ def optimize(
 
         delta = jnp.where(node_ok[:, None], x, 0.0)
         upd = se3.se3_exp(delta)
-        R_new = R_cur @ upd.R
-        t_new = jnp.einsum("mij,mj->mi", R_cur, upd.t) + t_cur
+        R_new = se3.mat3_mul(R_cur, upd.R)   # exact f32 (se3.mat3_mul)
+        t_new = se3.rotate_vec(R_cur, upd.t) + t_cur
         return R_new, t_new
 
     R_out, t_out = jax.lax.fori_loop(0, cfg.gn_iters, gn_body, (R, t))

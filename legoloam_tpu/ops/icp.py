@@ -75,7 +75,8 @@ def icp(
             jnp.sign(jnp.linalg.det(Vt.T @ U.T)))
         R_delta = Vt.T @ S @ U.T
         t_delta = mu_t - R_delta @ mu_s
-        T_new = Pose(R_delta @ T.R, R_delta @ T.t + t_delta)
+        T_new = Pose(se3.mat3_mul(R_delta, T.R),
+                     se3.rotate_vec(R_delta, T.t) + t_delta)
         err = jnp.sum(d * w) / wsum
         done = jnp.abs(prev_err - err) < eps
         return it + 1, T_new, err, done

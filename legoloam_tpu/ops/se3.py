@@ -68,9 +68,37 @@ def rotate_vec(R: jax.Array, v: jax.Array) -> jax.Array:
     ], axis=-1)
 
 
+def mat3_mul(A: jax.Array, B: jax.Array) -> jax.Array:
+    """``A (..., 3, 3) @ B (..., 3, 3)`` as the explicit per-column expansion.
+
+    Deliberately NOT a matmul (same reason as ``rotate_vec``): on TPU a 3x3
+    matmul inherits the backend's matmul precision — even the library-wide
+    "high" (bf16_3x) default carries a SYSTEMATIC ~1e-5 contraction per
+    product (measured: det drifts to 0.974 over 800 f32 compositions; raw
+    bf16 is far worse).  Pose rotations pass through thousands of chained
+    compositions (odometry integrate, LM retracts, guess projection), and the
+    accumulated contraction shrinks world-transformed keyframe clouds — at
+    ~130 scans the no-IMU mapped pose had det 0.85, smearing the submap and
+    driving the runaway ring-world divergence this fixes.  The VPU
+    elementwise form is exact f32 and faster at K=3."""
+    return jnp.stack([rotate_vec(A, B[..., :, j]) for j in range(3)], axis=-1)
+
+
+def so3_project(R: jax.Array) -> jax.Array:
+    """One symmetric-Newton step toward the nearest rotation:
+    R <- R (3I − RᵀR) / 2.  For drift ε (R = Q(I+E), ‖E‖ = ε) the residual
+    after one step is O(ε²) — at float32 rounding levels (ε ~ 1e-6) that is
+    exact; used as cheap per-step insurance on ACCUMULATED rotations
+    (odometry pose, mapped pose) so orthonormality error stays bounded over
+    20K-scan runs instead of random-walking."""
+    RtR = mat3_mul(jnp.swapaxes(R, -1, -2), R)
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=R.dtype), R.shape)
+    return mat3_mul(R, 1.5 * eye - 0.5 * RtR)
+
+
 def compose(a: Pose, b: Pose) -> Pose:
     """a ∘ b: apply b first, then a."""
-    return Pose(a.R @ b.R, rotate_vec(a.R, b.t) + a.t)
+    return Pose(mat3_mul(a.R, b.R), rotate_vec(a.R, b.t) + a.t)
 
 
 def inverse(p: Pose) -> Pose:
@@ -125,7 +153,7 @@ def so3_exp(w: jax.Array) -> jax.Array:
     b = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / theta2)
     W = hat(w)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), W.shape)
-    return eye + a[..., None, None] * W + b[..., None, None] * (W @ W)
+    return eye + a[..., None, None] * W + b[..., None, None] * mat3_mul(W, W)
 
 
 def so3_log(R: jax.Array) -> jax.Array:
@@ -157,8 +185,8 @@ def so3_log(R: jax.Array) -> jax.Array:
 
 def so3_interp(Ra: jax.Array, Rb: jax.Array, s: jax.Array) -> jax.Array:
     """Geodesic interpolation R(s) = Ra exp(s log(RaᵀRb)) (slerp on SO(3))."""
-    dR = jnp.swapaxes(Ra, -1, -2) @ Rb
-    return Ra @ so3_exp(so3_log(dR) * s[..., None])
+    dR = mat3_mul(jnp.swapaxes(Ra, -1, -2), Rb)
+    return mat3_mul(Ra, so3_exp(so3_log(dR) * s[..., None]))
 
 
 # ---------------------------------------------------------------------------
@@ -176,7 +204,7 @@ def _left_jacobian(w: jax.Array) -> jax.Array:
     )
     W = hat(w)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), W.shape)
-    return eye + b[..., None, None] * W + c[..., None, None] * (W @ W)
+    return eye + b[..., None, None] * W + c[..., None, None] * mat3_mul(W, W)
 
 
 def se3_exp(xi: jax.Array) -> Pose:
@@ -214,7 +242,7 @@ def retract_about(p: Pose, xi: jax.Array, center: jax.Array) -> Pose:
     mapOptmization.cpp:1252-1271).  Centering reproduces the reference's
     sensor-local conditioning with a position-independent twist."""
     Rd = so3_exp(xi[:3])
-    td = center + xi[3:] - Rd @ center
+    td = center + xi[3:] - rotate_vec(Rd, center)
     return compose(Pose(Rd, td), p)
 
 
@@ -248,7 +276,7 @@ def rot_z(a):
 
 def euler_zyx_to_mat(roll, pitch, yaw) -> jax.Array:
     """R = Rz(yaw) Ry(pitch) Rx(roll)."""
-    return rot_z(yaw) @ rot_y(pitch) @ rot_x(roll)
+    return mat3_mul(mat3_mul(rot_z(yaw), rot_y(pitch)), rot_x(roll))
 
 
 def mat_to_euler_zyx(R: jax.Array):

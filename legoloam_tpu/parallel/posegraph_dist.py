@@ -139,8 +139,8 @@ def optimize_sharded(
 
             delta = jnp.where(node_ok[:, None], x, 0.0)
             upd = se3.se3_exp(delta)
-            R_new = R_cur @ upd.R
-            t_new = jnp.einsum("mij,mj->mi", R_cur, upd.t) + t_cur
+            R_new = se3.mat3_mul(R_cur, upd.R)   # exact f32 (se3.mat3_mul)
+            t_new = se3.rotate_vec(R_cur, upd.t) + t_cur
             return R_new, t_new
 
         return jax.lax.fori_loop(0, cfg.gn_iters, gn_body, (R0, t0))

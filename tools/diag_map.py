@@ -142,12 +142,15 @@ def main():
             m_err = float(np.linalg.norm(np.asarray(mapped_pose.t) - gt_t))
             o_err = float(np.linalg.norm(np.asarray(out.pose.t) - gt_t))
 
-            def rot_err_deg(R_est):
-                dR = np.asarray(R_est) @ np.asarray(poses.R[k]).T
+            def rot_err_deg_at(R_est, kk):
+                dR = np.asarray(R_est) @ np.asarray(poses.R[kk]).T
                 w = np.array([dR[2, 1] - dR[1, 2], dR[0, 2] - dR[2, 0],
                               dR[1, 0] - dR[0, 1]]) * 0.5
                 return np.degrees(np.arcsin(np.clip(np.linalg.norm(w),
                                                     -1, 1)))
+
+            def rot_err_deg(R_est):
+                return rot_err_deg_at(R_est, k)
             g_r = rot_err_deg(guess.R)
             m_r = rot_err_deg(mapped_pose.R)
             o_r = rot_err_deg(out.pose.R)
@@ -165,6 +168,7 @@ def main():
             # world-frame motion since the previous mapped pose.
             d_odo_err = 0.0
             guess_step_err = 0.0
+            step_ang = step_mag = aft_rot = odo_n = 0.0
             if prev_map_k is not None:
                 pk = prev_map_k
                 gt_d = np.asarray(poses.R[pk]).T @ (
@@ -177,8 +181,20 @@ def main():
                 guess_step = np.asarray(guess.t) - np.asarray(prev_mapped_t)
                 guess_step_err = float(np.linalg.norm(guess_step
                                                       - gt_d_world))
+                # Decompose: angle between the projected and true step, the
+                # magnitude ratio, and the attitude error of the t_aft used.
+                gs_n = np.linalg.norm(guess_step)
+                gt_n = np.linalg.norm(gt_d_world)
+                odo_n = float(np.linalg.norm(np.asarray(out.pose.t)
+                                             - np.asarray(prev_odom.t)))
+                cosang = np.clip(guess_step @ gt_d_world
+                                 / max(gs_n * gt_n, 1e-12), -1, 1)
+                step_ang = float(np.degrees(np.arccos(cosang)))
+                step_mag = float(gs_n / max(gt_n, 1e-12))
+                aft_rot = rot_err_deg_at(np.asarray(prev_aft_R), pk)
             prev_map_k, prev_odom = k, out.pose
             prev_mapped_t = np.asarray(mapped_pose.t)
+            prev_aft_R = np.asarray(mapped_pose.R)
             print(f"{k:4d} {g_err:11.3f} {m_err:12.3f} {o_err:9.3f} "
                   f"{int(mdiag.n_corner_res):5d} {int(mdiag.n_surf_res):6d} "
                   f"{int(mdiag.iters):3d} {int(mdiag.n_submap_corner):6d} "
@@ -186,7 +202,9 @@ def main():
                   f"{int(map_state.kf.count):4d} {str(rebuilt):>7}"
                   f"  rot(g/m/o)deg={g_r:5.2f}/{m_r:5.2f}/{o_r:5.2f}"
                   f"  e(f/l/u)=({e_fwd:+7.2f},{e_left:+7.2f},{e_up:+6.2f})"
-                  f"  dOdo={d_odo_err:6.3f} gStep={guess_step_err:6.3f}",
+                  f"  dOdo={d_odo_err:6.3f} gStep={guess_step_err:6.3f}"
+                  f"  stepAng={step_ang:5.2f} stepMag={step_mag:5.3f}"
+                  f"  aftRot={aft_rot:5.2f} odoN={odo_n:5.3f}",
                   flush=True)
         state = pipeline.SlamState(odom=odom_state, mapping=map_state,
                                    loops=state.loops)

@@ -195,28 +195,33 @@ def to_keyframe_store(kf: DistKeyframes, mesh: Mesh | None = None):
 
 def extract_submap_dist(kf: DistKeyframes, center: jax.Array,
                         cfg: MappingConfig, mesh: Mesh, axis: str = "data"):
-    """Distributed ``mapping.extract_submap``: each shard selects the deduped
-    in-radius keyframes among ITS OWN (cyclic) keyframes, voxelizes their
-    world-frame clouds to ``cap/n_dev``, and one ``all_gather`` replicates the
-    result.  Per-shard position dedup can keep cross-shard duplicates, which
-    only adds coverage (same spirit as the reference's 1 m pose downsample,
-    mapOptmization.cpp:1009-1010)."""
+    """Distributed ``mapping.extract_submap`` with EXACT single-device
+    selection: keyframe POSES are replicated, so every shard redundantly runs
+    the identical global dedup + top-``search_num`` selection (cheap position
+    math over M rows — no collective needed), then gathers/transforms only
+    the selected keyframes IT OWNS, voxelizes them to ``cap/n_dev``, and one
+    ``all_gather`` replicates the result.
+
+    This replaces an earlier per-shard-local selection whose per-shard dedup
+    could not see cross-shard duplicates — in dense revisit areas (1 m cells
+    holding several keyframes spread cyclically over shards) the per-shard
+    budget filled with near-duplicates and coverage collapsed to a fraction
+    of the single-device radius (caught by
+    tests/test_scale_mesh.py at 16K keyframes).  With the replicated global
+    selection the chosen keyframe SET equals the single-device one exactly;
+    only the voxel-downsample partitioning differs (per-shard caps, same
+    as before)."""
     n_dev = mesh.shape[axis]
     m = kf.t.shape[0]
-    # Per-shard selection budget ~ search_num/n_dev with a small overlap
-    # margin (cross-shard position dedup can keep one duplicate per cell per
-    # shard; the margin absorbs mild imbalance of the cyclic layout).  Keeps
-    # the TOTAL selection budget comparable to the single-device
-    # extract_submap instead of growing N-fold with the mesh.
-    local_sel = -(-cfg.search_num // n_dev) + 4
-    local_sel = max(1, min(local_sel, m // n_dev))
+    n_sel = min(cfg.search_num, m)
+    # Each shard owns ~n_sel/n_dev of the selection (cyclic layout spreads
+    # the trajectory-ordered selection evenly); 2x margin absorbs imbalance.
+    own_cap = min(n_sel, max(1, 2 * (-(-n_sel // n_dev))))
     # Per-shard voxel caps, floored at one scan's cloud cap: when keyframes
     # are fewer than shards (startup, small maps) a shard may hold a SINGLE
     # keyframe whose cloud alone exceeds submap_cap/n_dev — without the floor
     # its Morton-tail voxels would silently truncate
     # (tests/test_pipeline_dist.py::test_dist_submap_covers_single_device).
-    # At scale the cyclic layout spreads any radius selection evenly, so
-    # cap/n_dev dominates and the gathered total stays ~submap_cap.
     c_cap = max(cfg.submap_corner_cap // n_dev, cfg.scan_corner_cap)
     s_cap = max(cfg.submap_surf_cap // n_dev, cfg.scan_surf_cap)
     kspec, rspec = P(axis), P()
@@ -230,22 +235,25 @@ def extract_submap_dist(kf: DistKeyframes, center: jax.Array,
     def solve(corner, corner_valid, surf, surf_valid, R_all, t_all, count,
               ctr):
         shard = jax.lax.axis_index(axis)
-        m_loc = corner.shape[0]
-        gidx = jnp.arange(m_loc) * n_dev + shard
-        t_loc = t_all[gidx]
-        R_loc = R_all[gidx]
-        ok = gidx < count
-        d2 = jnp.sum((t_loc - ctr[None]) ** 2, axis=-1)
-        within = ok & (d2 <= cfg.search_radius ** 2)
-        rep = dedup_positions(t_loc, within, ctr, cfg.surrounding_leaf)
-        d2 = jnp.where(rep & within, d2, jnp.inf)
-        sel_score, sel = jax.lax.top_k(-d2, local_sel)
+        # --- replicated global selection (identical on every shard) ---
+        kf_ok = jnp.arange(m) < count
+        d2 = jnp.sum((t_all - ctr[None]) ** 2, axis=-1)
+        rep = dedup_positions(t_all, kf_ok, ctr, cfg.surrounding_leaf)
+        d2 = jnp.where(rep, d2, jnp.inf)
+        sel_score, sel = jax.lax.top_k(-d2, n_sel)       # global kf indices
         sel_ok = (-sel_score) <= cfg.search_radius ** 2
+        # --- compact to the selections THIS shard owns ---
+        own = (sel % n_dev) == shard
+        own_d2 = jnp.where(own & sel_ok, -sel_score, jnp.inf)
+        _, osel = jax.lax.top_k(-own_d2, own_cap)        # indices into sel
+        o_ok = jnp.isfinite(own_d2[osel])
+        gsel = sel[osel]                                 # owned global ids
+        lsel = gsel // n_dev                             # local slots
 
         def gather(cloud, valid, cap, leaf):
-            pts = cloud[sel]
-            v = valid[sel] & sel_ok[:, None]
-            world = se3.transform_points(Pose(R_loc[sel], t_loc[sel]), pts)
+            pts = cloud[lsel]                            # (own_cap, C, 3)
+            v = valid[lsel] & o_ok[:, None]
+            world = se3.transform_points(Pose(R_all[gsel], t_all[gsel]), pts)
             return voxel_downsample(world.reshape(-1, 3), v.reshape(-1),
                                     leaf, cap, origin=ctr)
 

@@ -401,6 +401,10 @@ def mapping_step_dist(
         pitch = (1.0 - w) * pitch + w * imu_rpy[1]
         T = Pose(se3.euler_zyx_to_mat(roll, pitch, yaw), T.t)
 
+    # Orthonormality insurance on the accumulated mapped rotation (same as
+    # the single-device step — see se3.so3_project).
+    T = Pose(se3.so3_project(T.R), T.t)
+
     # 5. saveKeyFramesAndFactor gate (replicated) + sharded cloud append.
     kf = state.kf
     last_idx = jnp.maximum(kf.count - 1, 0)

@@ -550,7 +550,7 @@ def _trust_region(guess: Pose, T: Pose, cfg: MappingConfig) -> Pose:
 # Full mapping step
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
 def mapping_step(
     state: MapState,
     corner_cloud: FeatureCloud,     # odometry's last_corner (scan-end frame)

@@ -66,9 +66,17 @@ def main():
         _sync(r)
         print(f"{name:34s} {(time.perf_counter() - t0) / args.iters * 1e3:9.2f} ms")
 
-    timed("mapping_step (full)",
-          lambda: mapping.mapping_step(ms, oc, os_, oo, opose,
-                                       jnp.float32(3.0), cfg.mapping))
+    # mapping_step donates its state arg (the 500 MB keyframe store aliases
+    # in place) — time it by CHAINING states instead of reusing one.
+    chain = {"ms": jax.tree.map(jnp.copy, ms)}
+
+    def chained_step():
+        new_ms, T, diag = mapping.mapping_step(
+            chain["ms"], oc, os_, oo, opose, jnp.float32(3.0), cfg.mapping)
+        chain["ms"] = new_ms
+        return T
+
+    timed("mapping_step (full)", chained_step)
 
     sub = jax.jit(lambda kf, c: mapping.extract_submap(kf, c, cfg.mapping))
     timed("extract_submap", lambda: sub(ms.kf, opose.t))

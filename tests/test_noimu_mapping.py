@@ -27,7 +27,7 @@ from legoloam_tpu.utils import metrics, synthetic
 def test_noimu_fused_beats_odometry_on_ring_lap():
     cfg = DEFAULT
     scene = synthetic.loop_scene()
-    n = 120
+    n = 90
     poses = synthetic.circle_trajectory(n + 1, radius=30.0,
                                         angular_rate=0.009)
     ray = jax.jit(lambda pk_R, pk_t, nx_R, nx_t: synthetic.raycast_scan(
@@ -50,7 +50,7 @@ def test_noimu_fused_beats_odometry_on_ring_lap():
 
     ate_f = float(metrics.ate_rmse(fused, gt))
     ate_o = float(metrics.ate_rmse(odoms, gt))
-    # Odometry alone drifts ~0.5-1 m over 120 scans; mapping must cut that
+    # Odometry alone drifts ~0.5-1 m over 90 scans; mapping must cut that
     # by at least 2x (chip runs achieve ~10-60x over full laps).
     assert np.isfinite(ate_f) and np.isfinite(ate_o)
     assert ate_f < 0.5 * ate_o, (ate_f, ate_o)

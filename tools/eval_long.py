@@ -40,6 +40,9 @@ def main():
                          "rotation-coupled sampling bias; revisits origin)")
     ap.add_argument("--save", default=None,
                     help="write trajectories (fused/odom/mapped/gt R+t) to NPZ")
+    ap.add_argument("--set-map", action="append", default=[], metavar="K=V",
+                    help="override MappingConfig fields, e.g. "
+                         "--set-map ground_anchor=0 --set-map prior_trans_std=0")
     args = ap.parse_args()
     if args.radius is None:
         args.radius = 30.0 if args.world == "loop" else 26.0
@@ -57,6 +60,19 @@ def main():
     if args.loop:
         cfg = dataclasses.replace(
             cfg, loop=dataclasses.replace(cfg.loop, enabled=True))
+    if args.set_map:
+        m = cfg.mapping
+        for kv in args.set_map:
+            key, val = kv.split("=", 1)
+            cur = getattr(m, key)
+            if isinstance(cur, bool):
+                cast = val == "True"
+            elif isinstance(cur, str):
+                cast = val
+            else:
+                cast = type(cur)(float(val))
+            m = dataclasses.replace(m, **{key: cast})
+        cfg = cfg.replace(mapping=m)
 
     scene = (synthetic.loop_scene() if args.world == "loop"
              else synthetic.default_scene())

@@ -43,6 +43,9 @@ def main():
     ap.add_argument("--set-map", action="append", default=[], metavar="K=V",
                     help="override MappingConfig fields, e.g. "
                          "--set-map ground_anchor=0 --set-map prior_trans_std=0")
+    ap.add_argument("--noise", type=float, default=0.0,
+                    help="per-range Gaussian noise sigma in meters (realistic"
+                         " VLP-16: ~0.03); drives drift for loop-closure evals")
     args = ap.parse_args()
     if args.radius is None:
         args.radius = 30.0 if args.world == "loop" else 26.0
@@ -93,9 +96,16 @@ def main():
                              valid=jnp.ones(ts.shape[0], bool))
         integ = deskew.integrate_imu(w)
 
-    ray = jax.jit(lambda pk_R, pk_t, nx_R, nx_t: synthetic.raycast_scan(
-        scene, Pose(pk_R, pk_t), cfg.sensor,
-        next_pose=Pose(nx_R, nx_t), motion=True))
+    if args.noise > 0:
+        ray = jax.jit(lambda pk_R, pk_t, nx_R, nx_t, key: synthetic.raycast_scan(
+            scene, Pose(pk_R, pk_t), cfg.sensor,
+            next_pose=Pose(nx_R, nx_t), motion=True,
+            noise_key=key, noise_sigma=args.noise))
+        keys = jax.random.split(jax.random.PRNGKey(0), n)
+    else:
+        ray = jax.jit(lambda pk_R, pk_t, nx_R, nx_t: synthetic.raycast_scan(
+            scene, Pose(pk_R, pk_t), cfg.sensor,
+            next_pose=Pose(nx_R, nx_t), motion=True))
 
     state = pipeline.init_slam_state(cfg)
     sched = pipeline.LoopScheduler(cfg)
@@ -103,8 +113,12 @@ def main():
     fused_R, odom_R, mapped_t = [], [], []
     t0 = time.perf_counter()
     for k in range(n):
-        pts, valid, ring = ray(poses.R[k], poses.t[k],
-                               poses.R[k + 1], poses.t[k + 1])
+        if args.noise > 0:
+            pts, valid, ring = ray(poses.R[k], poses.t[k],
+                                   poses.R[k + 1], poses.t[k + 1], keys[k])
+        else:
+            pts, valid, ring = ray(poses.R[k], poses.t[k],
+                                   poses.R[k + 1], poses.t[k + 1])
         state, out = pipeline.slam_scan_step(
             state, pts, valid, ring, cfg, 0.1 * k,
             run_mapping=(k % cfg.mapping_every == 0),

@@ -130,6 +130,104 @@ def loop_scene() -> Scene:
                  cylinders=jnp.asarray(np.array(cyl, np.float32)))
 
 
+def circuit_scene(half: float = 100.0) -> Scene:
+    """A perimeter-circuit world LARGER than the mapping submap radius.
+
+    The ``loop_scene`` ring (90x90 m) always keeps the whole map within the
+    50 m surrounding-keyframes radius, so scan-to-map continuously re-aligns
+    to old keyframes and explicit loop closure never has residual drift to
+    fix.  This course is a rounded-square lane of half-size ``half`` (e.g.
+    100 -> a ~766 m circuit): once the vehicle is a side away, the start-area
+    keyframes are ~200 m out of range, drift accumulates on fresh terrain,
+    and the return to start is a REAL loop-closure event — the reference's
+    Stevens-dataset regime (``/root/reference/README.md:104-106``).
+
+    Geometry: outer wall square at half+12, inner wall square at half-12
+    (a 24 m lane), poles + crates along both lane edges for edge features.
+    Use with ``circuit_trajectory(n, half=half)``."""
+    ho, hi = half + 12.0, half - 12.0
+    t = 0.4          # wall thickness
+    boxes = [
+        # outer walls (4 m tall)
+        [-ho, -ho, 0.0, ho, -ho + t, 4.0],
+        [-ho, ho - t, 0.0, ho, ho, 4.0],
+        [-ho, -ho, 0.0, -ho + t, ho, 4.0],
+        [ho - t, -ho, 0.0, ho, ho, 4.0],
+        # inner block walls (5 m tall)
+        [-hi, -hi, 0.0, hi, -hi + t, 5.0],
+        [-hi, hi - t, 0.0, hi, hi, 5.0],
+        [-hi, -hi, 0.0, -hi + t, hi, 5.0],
+        [hi - t, -hi, 0.0, hi, hi, 5.0],
+    ]
+    cyl = []
+    rng = np.random.RandomState(11)
+    # Poles + crates along both lane edges, ~every 8 m of perimeter.
+    for side in range(4):
+        for k in range(25):
+            u = -half + (2.0 * half) * (k + 0.5) / 25.0
+            for r, jitter in ((half - 8.0, 1.5), (half + 8.0, 1.5)):
+                uu = u + jitter * (rng.rand() - 0.5) * 4.0
+                if side == 0:
+                    x, y = uu, -r
+                elif side == 1:
+                    x, y = r, uu
+                elif side == 2:
+                    x, y = -uu, r
+                else:
+                    x, y = -r, -uu
+                if rng.rand() < 0.6:
+                    cyl.append([x, y, 0.18, 4.0 + 2.0 * rng.rand()])
+                else:
+                    w = 0.6 + 1.2 * rng.rand()
+                    d = 0.6 + 1.2 * rng.rand()
+                    boxes.append([x - w / 2, y - d / 2, 0.0,
+                                  x + w / 2, y + d / 2,
+                                  0.8 + 2.0 * rng.rand()])
+    return Scene(boxes=jnp.asarray(np.array(boxes, np.float32)),
+                 cylinders=jnp.asarray(np.array(cyl, np.float32)))
+
+
+def circuit_trajectory(n_scans: int, half: float = 100.0,
+                       corner: float = 18.0, step: float = 0.8,
+                       height: float = 0.8) -> Pose:
+    """Poses along the rounded-square lane centerline of ``circuit_scene``
+    (counter-clockwise, yaw tangent to the path), ``step`` meters per scan.
+    One lap = 4*(2*(half-corner)) + 2*pi*corner meters (~766 m at the
+    defaults -> ~957 scans/lap)."""
+    L = half - corner                       # straight half-length
+    seg = 2.0 * L                           # straight length
+    arc = 0.5 * np.pi * corner              # quarter-corner length
+    P = 4.0 * (seg + arc)
+    s = (np.arange(n_scans, dtype=np.float64) * step) % P
+    x = np.zeros(n_scans)
+    y = np.zeros(n_scans)
+    yaw = np.zeros(n_scans)
+    for i, si in enumerate(s):
+        q, r = divmod(si, seg + arc)        # quadrant 0..3, offset within
+        q = int(q)
+        if r < seg:                         # straight
+            u = -L + r
+            px, py, hd = u, -half, 0.0
+        else:                               # corner arc
+            a = (r - seg) / corner          # 0..pi/2
+            cxx, cyy = L, -L                # corner center (quadrant 0)
+            px = cxx + corner * np.sin(a)
+            py = -half + corner * (1.0 - np.cos(a))
+            # recenter: arc from (L,-half) toward (half,-L)
+            px = L + corner * np.sin(a)
+            py = -half + corner * (1.0 - np.cos(a))
+            hd = a
+        # rotate by quadrant (90 deg each)
+        for _ in range(q):
+            px, py = -py, px
+            hd += 0.5 * np.pi
+        x[i], y[i], yaw[i] = px, py, hd
+    t = jnp.asarray(np.stack([x, y, np.full_like(x, height)], axis=-1),
+                    jnp.float32)
+    R = se3.rot_z(jnp.asarray(yaw, jnp.float32))
+    return Pose(R, t)
+
+
 def _ray_ground(o, d):
     """Intersection with plane z=0; +inf if none."""
     s = -o[2] / jnp.where(jnp.abs(d[2]) < 1e-9, 1e-9, d[2])

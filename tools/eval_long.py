@@ -29,10 +29,13 @@ def main():
                     help="feed synthetic IMU (de-skew + initial guess)")
     ap.add_argument("--backend", default=None)
     ap.add_argument("--world", default="courtyard",
-                    choices=["courtyard", "loop"],
+                    choices=["courtyard", "loop", "circuit"],
                     help="courtyard: 50x40 m block (stay <= ~120 scans at the"
                          " default radius or the path exits the walls); loop:"
-                         " 90x90 m ring world built for full revisit laps")
+                         " 90x90 m ring world built for full revisit laps;"
+                         " circuit: ~766 m rounded-square course LARGER than"
+                         " the submap radius (real loop-closure regime,"
+                         " ~957 scans/lap)")
     ap.add_argument("--radius", type=float, default=None)
     ap.add_argument("--angular-rate", type=float, default=0.009)
     ap.add_argument("--traj", default="circle", choices=["circle", "figure8"],
@@ -78,9 +81,12 @@ def main():
         cfg = cfg.replace(mapping=m)
 
     scene = (synthetic.loop_scene() if args.world == "loop"
+             else synthetic.circuit_scene() if args.world == "circuit"
              else synthetic.default_scene())
     n = args.scans
-    if args.traj == "figure8":
+    if args.world == "circuit":
+        poses = synthetic.circuit_trajectory(n + 1)
+    elif args.traj == "figure8":
         # radius 8 keeps the lobes clear of the courtyard's interior
         # buildings; the loop world's central block rules figure8 out there.
         poses = synthetic.figure8_trajectory(n + 1, radius=8.0)

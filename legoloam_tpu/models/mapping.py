@@ -563,7 +563,14 @@ def mapping_step(
     ground_cloud: FeatureCloud | None = None,
 ) -> Tuple[MapState, Pose, MappingDiag]:
     """One mapping update (the reference's throttled ``run`` body,
-    mapOptmization.cpp:1487-1522)."""
+    mapOptmization.cpp:1487-1522).
+
+    DONATION CONTRACT: ``state`` is donated (the ~500 MB keyframe store
+    aliases in place — measured ~3-7% of full-SLAM throughput).  The
+    returned state/pose may alias the new state's buffers: callers that
+    KEEP a returned pose across a later ``mapping_step`` call must fetch it
+    to host (``np.asarray``) or copy it first — the next call invalidates
+    the donated buffers."""
     # 1. transformAssociateToMap: project odometry through the last correction.
     guess_raw = se3.project_through_correction(odom_pose, state.t_bef,
                                                state.t_aft)

@@ -139,10 +139,19 @@ def main():
         if args.save:
             fused_R.append(out.fused_pose.R)
             odom_R.append(out.odom_pose.R)
-            mapped_t.append(out.mapped_pose.t)
+            # mapped_pose aliases the DONATED mapping state (see
+            # mapping_step) — fetch to host before the next step invalidates
+            # the buffer.
+            mapped_t.append(np.asarray(out.mapped_pose.t))
     fused = np.asarray(jnp.stack(fused))
     odoms = np.asarray(jnp.stack(odoms))
-    gt = np.asarray(poses.t)[:n]
+    # The estimate frame is the scan-0 SENSOR frame: rebase ground truth by
+    # the start pose (worlds whose trajectory starts away from the origin /
+    # heading != 0, e.g. --world circuit, would otherwise carry a constant
+    # offset into end-drift numbers; Umeyama ATE hid it).
+    R0 = np.asarray(poses.R[0])
+    t0 = np.asarray(poses.t[0])
+    gt = (np.asarray(poses.t)[:n] - t0) @ R0      # = R0^T (gt_k - t0)
     if args.save:
         np.savez(args.save,
                  fused_t=fused, odom_t=odoms, gt_t=gt,

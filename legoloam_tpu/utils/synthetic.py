@@ -163,8 +163,9 @@ def circuit_scene(half: float = 100.0) -> Scene:
     rng = np.random.RandomState(11)
     # Poles + crates along both lane edges, ~every 8 m of perimeter.
     for side in range(4):
-        for k in range(25):
-            u = -half + (2.0 * half) * (k + 0.5) / 25.0
+        n_feat = max(10, int(half / 4))      # ~one every 8 m of side length
+        for k in range(n_feat):
+            u = -half + (2.0 * half) * (k + 0.5) / n_feat
             for r, jitter in ((half - 8.0, 1.5), (half + 8.0, 1.5)):
                 uu = u + jitter * (rng.rand() - 0.5) * 4.0
                 if side == 0:

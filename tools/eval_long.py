@@ -46,6 +46,10 @@ def main():
     ap.add_argument("--set-map", action="append", default=[], metavar="K=V",
                     help="override MappingConfig fields, e.g. "
                          "--set-map ground_anchor=0 --set-map prior_trans_std=0")
+    ap.add_argument("--circuit-half", type=float, default=100.0,
+                    help="circuit world half-size (100 -> ~766 m lap; 200 "
+                         "-> ~1570 m lap, enough drift to exceed the "
+                         "scan-to-map gate at re-entry)")
     ap.add_argument("--noise", type=float, default=0.0,
                     help="per-range Gaussian noise sigma in meters (realistic"
                          " VLP-16: ~0.03); drives drift for loop-closure evals")
@@ -81,11 +85,12 @@ def main():
         cfg = cfg.replace(mapping=m)
 
     scene = (synthetic.loop_scene() if args.world == "loop"
-             else synthetic.circuit_scene() if args.world == "circuit"
+             else synthetic.circuit_scene(args.circuit_half)
+             if args.world == "circuit"
              else synthetic.default_scene())
     n = args.scans
     if args.world == "circuit":
-        poses = synthetic.circuit_trajectory(n + 1)
+        poses = synthetic.circuit_trajectory(n + 1, half=args.circuit_half)
     elif args.traj == "figure8":
         # radius 8 keeps the lobes clear of the courtyard's interior
         # buildings; the loop world's central block rules figure8 out there.

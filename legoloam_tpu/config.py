@@ -135,6 +135,16 @@ class FeatureConfig:
     # Pick-loop implementation: "auto" = VMEM-resident Pallas kernel on TPU,
     # XLA dense one-hot trips elsewhere; "pallas" / "xla" force one.
     picks_backend: str = "auto"
+    # Less-flat 0.2 m downsample implementation.  The reference runs a PCL
+    # VoxelGrid PER RING (featureAssociation.cpp:771-783); ring points are
+    # azimuth-ordered, so one-pass first-of-run adjacent-cell dedup ("run")
+    # reproduces per-ring voxel thinning without the 28.8K-row sort the
+    # exact global-voxel path ("voxel") pays — measured 1.36 -> ~0.1 ms on
+    # the chip, ATE-equivalent (see PERF.md).  The cloud is only the
+    # odometry's surf correspondence SOURCE, where density (not centroid
+    # exactness) is what matters; "run" keeps real measured points, closer
+    # to the reference's per-ring behavior than a global voxel grid.
+    less_flat_method: str = "run"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -260,7 +270,12 @@ class MappingConfig:
     # biases into the first keyframes (measured on motion-distorted synthetic
     # worlds), and those mutually-inconsistent keyframes smear the submap,
     # whose spurious optima then pull every later scan (runaway feedback).
-    min_lm_keyframes: int = 4
+    # Round 3: with the rotation-precision root cause fixed, a 2-keyframe
+    # gate measured best — the scan-to-map alignment of keyframes 2+ halves
+    # the cold-start transient's contribution on fast trajectories (766 m
+    # circuit end drift 3.38 -> 1.69 m) at no cost on the ring world
+    # (0.045 -> 0.047 m).  The round-2 value (4) predates that fix.
+    min_lm_keyframes: int = 2
     # Per-step trust region on the LM's correction relative to the guess:
     # the guess already carries the previous correction, so a legitimate
     # NEW correction is bounded by odometry error accrued over one mapping

@@ -317,14 +317,28 @@ def _build_clouds(img, seg, c, count, in_ring, label, cfg, xyz_deskewed):
     flat = gather_cloud(label == -1, cfg.max_flat)
 
     # Less-flat: every segmented point with label <= 0 (includes flat picks),
-    # voxel-downsampled at 0.2 m (featureAssociation.cpp:771-783).
+    # downsampled at 0.2 m (featureAssociation.cpp:771-783, per-ring
+    # VoxelGrid).  See FeatureConfig.less_flat_method.
     lf_mask = in_ring & (label <= 0)
-    payload = jnp.stack([ring_f, c["rel"]], axis=-1).reshape(-1, 2)
-    pts, pay, v = voxel_downsample_with_payload(
-        c["xyz"].reshape(-1, 3), payload, lf_mask.reshape(-1),
-        cfg.less_flat_leaf, cfg.max_less_flat,
-    )
-    less_flat = FeatureCloud(xyz=pts, ring=pay[:, 0], rel_time=pay[:, 1], valid=v)
+    if cfg.less_flat_method == "run":
+        # First-of-run adjacent-cell dedup along each (azimuth-ordered)
+        # ring: keeps one real point per contiguous same-voxel run — the
+        # vectorized equivalent of the reference's per-ring voxel thinning.
+        cell = jnp.floor(c["xyz"] / cfg.less_flat_leaf).astype(jnp.int32)
+        same = jnp.all(cell == jnp.roll(cell, 1, axis=1), axis=-1)
+        prev_lf = jnp.roll(lf_mask, 1, axis=1)
+        keep = lf_mask & ~(same & prev_lf)
+        keep = keep.at[:, 0].set(lf_mask[:, 0])   # ring start begins a run
+        less_flat = _compact_cloud(keep, cfg.max_less_flat, c["xyz"],
+                                   ring_f, c["rel"])
+    else:
+        payload = jnp.stack([ring_f, c["rel"]], axis=-1).reshape(-1, 2)
+        pts, pay, v = voxel_downsample_with_payload(
+            c["xyz"].reshape(-1, 3), payload, lf_mask.reshape(-1),
+            cfg.less_flat_leaf, cfg.max_less_flat,
+        )
+        less_flat = FeatureCloud(xyz=pts, ring=pay[:, 0], rel_time=pay[:, 1],
+                                 valid=v)
 
     # Outlier cloud (imageProjection.cpp:328-335): gathered straight from the
     # DENSE image (these cells are not part of the ring compaction).

@@ -134,6 +134,16 @@ def knn_pallas(query: jax.Array, q_valid: jax.Array, ref: jax.Array,
     assert q_n % tq == 0 and r_n % rc == 0, (q_n, tq, r_n, rc)
     assert r_n <= (1 << 16), r_n   # index packing uses <=16 mantissa bits
     idx_bits = (r_n - 1).bit_length()
+    # Recenter both point sets by the valid-reference AABB center: the
+    # ||q||²-2q·r+||r||² cancellation error scales with the SQUARE of the
+    # coordinate magnitude (measured: ~1% wrong 5-NN sets at 60-90 m world
+    # offsets), so working in submap-local coordinates (±extent/2) makes the
+    # selection offset-independent.  Distances are translation-invariant.
+    lo_v = jnp.min(jnp.where(r_valid[:, None], ref, jnp.inf), axis=0)
+    hi_v = jnp.max(jnp.where(r_valid[:, None], ref, -jnp.inf), axis=0)
+    c = jnp.where(jnp.any(r_valid), 0.5 * (lo_v + hi_v), 0.0)
+    ref = ref - c[None, :]
+    query = query - c[None, :]
     ref_m = jnp.where(r_valid[:, None], ref, 1e6)
     query_m = jnp.where(q_valid[:, None], query, 2e6)
     r_sq = jnp.sum(ref_m * ref_m, axis=-1)
@@ -177,5 +187,22 @@ def knn_pallas(query: jax.Array, q_valid: jax.Array, ref: jax.Array,
         interpret=interpret,
     )(query_m.T, q_sq[None, :], ref_m.T, r_sq[None, :], lo, hi)
 
+    # Exact-distance refinement: the kernel's ||q||²-2q·r+||r||² MXU pass
+    # carries catastrophic-cancellation noise that grows with the distance
+    # from the coordinate origin (measured ~0.37 m² at 90 m world offset
+    # even at HIGHEST precision — tools/check_tpu_kernels.py), and the
+    # packed-int scores quantize at 2^-idx_bits-of-mantissa.  Recomputing
+    # the k selected candidates' distances in the DIFFERENCE form (exact to
+    # f32 ulp at any offset) and re-sorting makes the returned distances and
+    # the caller's acceptance gate (d[:, k-1] < gate², mapOptmization.cpp:
+    # 1101,1183) offset-independent; selection noise can only swap
+    # near-equidistant candidates at the quantization scale.
+    nn = ref_m[i]                                # (Q, k, 3)
+    diff = query_m[:, None, :] - nn
+    d_exact = jnp.sum(diff * diff, axis=-1)
+    d_exact = jnp.where(d >= _BIG, jnp.float32(_BIG), d_exact)
+    order = jnp.argsort(d_exact, axis=1)
+    d = jnp.take_along_axis(d_exact, order, axis=1)
+    i = jnp.take_along_axis(i, order, axis=1)
     d = d + jnp.where(q_valid, 0.0, _BIG)[:, None]
     return jnp.maximum(d, 0.0), i

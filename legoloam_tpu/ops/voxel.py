@@ -270,6 +270,15 @@ def knn(
     ever sees it, and the total cost is k tiny MXU matmuls.
     """
     q_n, r_n = query.shape[0], ref.shape[0]
+    # Recenter by the valid-reference AABB center (same rationale as
+    # knn_pallas): the matmul-form distance error scales with coordinate
+    # magnitude squared; submap-local coordinates make selection
+    # offset-independent.
+    lo_v = jnp.min(jnp.where(r_valid[:, None], ref, jnp.inf), axis=0)
+    hi_v = jnp.max(jnp.where(r_valid[:, None], ref, -jnp.inf), axis=0)
+    c = jnp.where(jnp.any(r_valid), 0.5 * (lo_v + hi_v), 0.0)
+    ref = ref - c[None, :]
+    query = query - c[None, :]
     ref_m = masked_fill(ref, r_valid[:, None], 1e6)
     r_sq = jnp.sum(ref_m * ref_m, axis=-1)
     q_sq = jnp.sum(query * query, axis=-1)
@@ -306,6 +315,17 @@ def knn(
         out_i.append(jnp.stack(is_, axis=1))
     dists = jnp.concatenate(out_d, axis=0) if len(out_d) > 1 else out_d[0]
     idxs = jnp.concatenate(out_i, axis=0) if len(out_i) > 1 else out_i[0]
+    # Exact-distance refinement (same rationale as knn_pallas): the
+    # matmul-form distances carry cancellation noise growing with the
+    # coordinate offset from the origin; recompute the k winners in the
+    # difference form (exact at any offset) and re-sort.
+    nn = ref_m[idxs]                             # (Q, k, 3)
+    diff = query[:, None, :] - nn
+    d_exact = jnp.sum(diff * diff, axis=-1)
+    d_exact = jnp.where(dists >= BIG, BIG, d_exact)
+    order = jnp.argsort(d_exact, axis=1)
+    dists = jnp.take_along_axis(d_exact, order, axis=1)
+    idxs = jnp.take_along_axis(idxs, order, axis=1)
     dists = dists + masked_fill(jnp.zeros_like(dists), q_valid[:, None], BIG)
     dists = jnp.maximum(dists, 0.0)  # clamp matmul-form negatives near zero
     return dists, idxs

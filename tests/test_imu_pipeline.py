@@ -139,7 +139,9 @@ def test_slam_block_imu_matches_streaming():
     block = np.concatenate(block)
 
     # Streaming runs separately-jitted programs; the block fuses one — XLA
-    # reassociates float ops across the boundaries and the IMU interp chain
-    # amplifies that to a few 1e-4 through the solvers.
-    np.testing.assert_allclose(block, np.stack(stream), atol=2e-3)
+    # reassociates float ops across the boundaries, and with
+    # min_lm_keyframes=2 the scan-to-map LM runs inside this window, where a
+    # borderline correspondence-gate flip amplifies the reassociation noise
+    # to a few mm through the solver.
+    np.testing.assert_allclose(block, np.stack(stream), atol=8e-3)
     assert int(st2.mapping.kf.count) == int(st1.mapping.kf.count)

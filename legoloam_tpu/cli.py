@@ -190,7 +190,8 @@ def main(argv=None):
                     state, *scan, cfg, t,
                     run_mapping=run_mapping,
                     run_loop=sched.due(t),
-                    imu_integral=integ)
+                    imu_integral=integ,
+                    bootstrap=(k == 1 and not args.resume))
         fused_R.append(out.fused_pose.R)
         fused_t.append(out.fused_pose.t)
         times.append(t)

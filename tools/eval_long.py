@@ -134,7 +134,7 @@ def main():
             state, pts, valid, ring, cfg, 0.1 * k,
             run_mapping=(k % cfg.mapping_every == 0),
             run_loop=sched.due(0.1 * k),
-            imu_integral=integ)
+            imu_integral=integ, bootstrap=(k == 1))
         if (k + 1) % 100 == 0:
             np.asarray(out.fused_pose.t)   # host sync, keeps queue bounded
             print(f"  scan {k + 1}/{n}  ({(k + 1) / (time.perf_counter() - t0):.1f} scans/s incl. raycast)",

@@ -331,6 +331,9 @@ class LoopClosureConfig:
     icp_max_iters: int = 100                   # mapOptmization.cpp:894
     icp_max_corr_dist: float = 100.0
     icp_eps: float = 1e-6
+    # "auto": Pallas packed-min kNN on TPU, XLA elsewhere; "xla"/"pallas"
+    # force one (same contract as FeatureConfig.picks_backend et al.).
+    icp_backend: str = "auto"
     submap_leaf: float = 0.4
     cur_cap: int = 8192                        # dense caps for the ICP clouds
     hist_cap: int = 32768

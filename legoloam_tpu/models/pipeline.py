@@ -248,7 +248,7 @@ def slam_scan_step(
             diag=out.diag)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "run_loop"))
+@functools.partial(jax.jit, static_argnames=("cfg", "run_loop", "bootstrap"))
 def slam_scan_block(
     state: SlamState,
     points: jax.Array,     # (B, P, 3) — B consecutive scans
@@ -258,6 +258,7 @@ def slam_scan_block(
     scan_times: jax.Array,  # (B,)
     run_loop: bool = False,
     imu_integrals: Optional[deskew_ops.ImuIntegral] = None,  # (B, L) leaves
+    bootstrap: bool = False,
 ):
     """B consecutive SLAM scans fused into ONE XLA program.
 
@@ -274,7 +275,10 @@ def slam_scan_block(
     block's mapping step.  ``imu_integrals`` (each leaf stacked on a leading
     B axis) enables the full IMU path per scan — de-skew, gyro-seeded guess,
     mapping attitude blend — matching B streaming steps with
-    ``imu_integral`` set."""
+    ``imu_integral`` set.  ``bootstrap`` (STATIC): pass True for the FIRST
+    block of a run — applies the scan-1 double-resolve exactly as the
+    streaming driver does (``slam_scan_step(bootstrap=...)``), keeping block
+    and streaming trajectories equivalent on fast starts."""
     from . import fusion as fusion_mod
     from . import loopclosure as loop_mod
     from . import mapping as mapping_mod
@@ -285,20 +289,27 @@ def slam_scan_block(
     outs = []
     for j in range(points.shape[0]):
         imu_rpy_end = None
+        imu_rot = None
         if imu_integrals is not None:
             integ_j = jax.tree.map(lambda a: a[j], imu_integrals)
             feats, dsk = process_scan_with_imu(points[j], valid[j], ring[j],
                                                cfg, integ_j, scan_times[j])
             seed = imu_xi_seed(dsk, cfg.sensor.scan_period)
             xi_seed = jnp.concatenate([seed[:3], odom_state.xi[3:]])
-            odom_state, pose, diag = odom.odometry_step(
-                odom_state, feats, cfg.odom, xi_seed=xi_seed,
-                imu_rot=dsk.ang_delta)
+            imu_rot = dsk.ang_delta
             imu_rpy_end = dsk.rpy_start + dsk.ang_delta
         else:
             feats = process_scan(points[j], valid[j], ring[j], cfg)
-            odom_state, pose, diag = odom.odometry_step(odom_state, feats,
-                                                        cfg.odom)
+            xi_seed = odom_state.xi
+        if bootstrap and j == 1:
+            # Scan-1 double-resolve (see slam_scan_step's bootstrap doc).
+            for _ in range(2):
+                ns, _, _ = odom.odometry_step(odom_state, feats, cfg.odom,
+                                              xi_seed=xi_seed,
+                                              imu_rot=imu_rot)
+                xi_seed = ns.xi
+        odom_state, pose, diag = odom.odometry_step(
+            odom_state, feats, cfg.odom, xi_seed=xi_seed, imu_rot=imu_rot)
         if j == 0:
             map_state, _mapped, _mdiag = mapping_mod.mapping_step(
                 map_state, odom_state.last_corner, odom_state.last_surf,

@@ -29,7 +29,7 @@ class IcpResult(NamedTuple):
     n_corr: jax.Array
 
 
-@functools.partial(jax.jit, static_argnames=("max_iters",))
+@functools.partial(jax.jit, static_argnames=("max_iters", "backend"))
 def icp(
     src: jax.Array, src_valid: jax.Array,
     dst: jax.Array, dst_valid: jax.Array,
@@ -37,16 +37,22 @@ def icp(
     max_corr_dist: float = 100.0,
     max_iters: int = 100,
     eps: float = 1e-6,
+    backend: str = "auto",
 ) -> IcpResult:
     """Align src onto dst starting from ``init``."""
     max_corr_sq = max_corr_dist * max_corr_dist
 
     # Packed-minimum Pallas kernel on TPU (one distance pass, index packed
-    # into the f32 mantissa); XLA multi-pass elsewhere.  No gate: the
+    # into the f32 mantissa); XLA multi-pass elsewhere.  No culling gate: the
     # reference's maxCorrespondenceDistance=100 effectively disables culling.
-    use_pallas = (jax.default_backend() not in ("cpu",)
-                  and src.shape[0] % 256 == 0 and dst.shape[0] % 512 == 0
-                  and dst.shape[0] <= (1 << 16))
+    # ``backend``: "auto" keys off jax.default_backend(); pass "xla" when
+    # compiling for a device that differs from the default backend (e.g. the
+    # virtual CPU mesh dry-run in a process that already touched the TPU).
+    shapes_ok = (src.shape[0] % 256 == 0 and dst.shape[0] % 512 == 0
+                 and dst.shape[0] <= (1 << 16))
+    use_pallas = shapes_ok and (
+        backend == "pallas"
+        or (backend == "auto" and jax.default_backend() not in ("cpu",)))
 
     def corr_stats(T: Pose):
         moved = se3.transform_points(T, src)

@@ -509,7 +509,7 @@ def close_and_correct_dist(
     res = icp_ops.icp(
         cur_pts, cur_val, hist_pts, hist_val, Pose.identity(),
         max_corr_dist=cfg.icp_max_corr_dist, max_iters=cfg.icp_max_iters,
-        eps=cfg.icp_eps)
+        eps=cfg.icp_eps, backend=cfg.icp_backend)
     accept = has_cand & res.converged & (res.fitness < cfg.fitness_thresh)
 
     T_cur = Pose(kf.R[cur], kf.t[cur])

@@ -278,7 +278,14 @@ def slam_scan_block(
     ``imu_integral`` set.  ``bootstrap`` (STATIC): pass True for the FIRST
     block of a run — applies the scan-1 double-resolve exactly as the
     streaming driver does (``slam_scan_step(bootstrap=...)``), keeping block
-    and streaming trajectories equivalent on fast starts."""
+    and streaming trajectories equivalent on fast starts.  The double-resolve
+    targets the block's LOCAL scan 1, so bootstrap requires B >= 2 — with
+    B == 1 the first block holds only scan 0 and the re-solve would be lost."""
+    if bootstrap and points.shape[0] < 2:
+        raise ValueError(
+            "slam_scan_block(bootstrap=True) needs a block of >= 2 scans "
+            "(the double-resolve applies to scan index 1; a 1-scan first "
+            "block would silently skip it — use the streaming driver)")
     from . import fusion as fusion_mod
     from . import loopclosure as loop_mod
     from . import mapping as mapping_mod

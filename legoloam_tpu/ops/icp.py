@@ -40,6 +40,9 @@ def icp(
     backend: str = "auto",
 ) -> IcpResult:
     """Align src onto dst starting from ``init``."""
+    if backend not in ("auto", "xla", "pallas"):
+        raise ValueError(f"icp backend must be 'auto', 'xla' or 'pallas', "
+                         f"got {backend!r}")
     max_corr_sq = max_corr_dist * max_corr_dist
 
     # Packed-minimum Pallas kernel on TPU (one distance pass, index packed
@@ -50,6 +53,11 @@ def icp(
     # virtual CPU mesh dry-run in a process that already touched the TPU).
     shapes_ok = (src.shape[0] % 256 == 0 and dst.shape[0] % 512 == 0
                  and dst.shape[0] <= (1 << 16))
+    if backend == "pallas" and not shapes_ok:
+        raise ValueError(
+            f"icp backend='pallas' forced but shapes src={src.shape} "
+            f"dst={dst.shape} fail the tile gate (src%256==0, dst%512==0, "
+            f"dst<=65536); use backend='auto' to fall back to XLA")
     use_pallas = shapes_ok and (
         backend == "pallas"
         or (backend == "auto" and jax.default_backend() not in ("cpu",)))

@@ -256,6 +256,20 @@ class MappingConfig:
     # since the last merge; otherwise each mapping step folds in at most one
     # new keyframe (weighted-centroid merge — associative, so exact).
     submap_rebuild_dist: float = 10.0
+    # Submap keyframe selection:
+    #   "radius" (default) — the reference's loopClosureEnableFlag=false path
+    #     (mapOptmization.cpp:1001-1056): position-deduped radius search, with
+    #     the incremental cache above.  Strictly better-behaved after loop
+    #     corrections (cache invalidation is explicit) and the only mode that
+    #     re-localizes against OLD keyframes on revisit.
+    #   "recent" — the reference's loopClosureEnableFlag=true path
+    #     (mapOptmization.cpp:961-1000): the submap is the most recent
+    #     ``search_num`` keyframes' clouds (its recentCornerCloudKeyFrames
+    #     deque), regardless of distance.  Rebuilt every mapping step (the
+    #     deque membership changes with each keyframe, exactly as the
+    #     reference re-concatenates it); use with loop.enabled=True to
+    #     reproduce the reference's loop-closure-mode submap composition.
+    submap_mode: str = "radius"
     scan_corner_cap: int = 2048                # downsampled current-scan sizes
     scan_surf_cap: int = 8192
     voxel_table_size: int = 1 << 17            # hash-table slots for voxel filters

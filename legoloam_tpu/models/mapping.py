@@ -175,14 +175,27 @@ def extract_submap(kf: KeyframeStore, center: jax.Array, cfg: MappingConfig,
     DEDUPED at ``surrounding_leaf`` (1 m), one keyframe per occupied cell.
     ``search_num`` caps the deduped selection (the reference's loop-closure
     mode cap, surroundingKeyframeSearchNum=50; after dedup a 50-cap covers a
-    50 m disk rather than 50 raw trajectory steps ~ 15 m)."""
+    50 m disk rather than 50 raw trajectory steps ~ 15 m).
+
+    ``cfg.submap_mode == "recent"`` instead selects the most recent
+    ``search_num`` keyframes regardless of distance — the reference's
+    loop-closure-mode recency deque (mapOptmization.cpp:961-1000)."""
     m = kf.t.shape[0]
-    kf_ok = jnp.arange(m) < kf.count
-    d2 = jnp.sum((kf.t - center[None, :]) ** 2, axis=-1)
-    rep = dedup_positions(kf.t, kf_ok, center, cfg.surrounding_leaf)
-    d2 = jnp.where(rep, d2, jnp.inf)
-    sel_score, sel = jax.lax.top_k(-d2, min(cfg.search_num, m))
-    sel_ok = (-sel_score) <= cfg.search_radius ** 2
+    if cfg.submap_mode == "recent":
+        S = min(cfg.search_num, m)
+        sel = kf.count - S + jnp.arange(S)
+        sel_ok = sel >= 0
+        sel = jnp.clip(sel, 0, m - 1)
+    elif cfg.submap_mode == "radius":
+        kf_ok = jnp.arange(m) < kf.count
+        d2 = jnp.sum((kf.t - center[None, :]) ** 2, axis=-1)
+        rep = dedup_positions(kf.t, kf_ok, center, cfg.surrounding_leaf)
+        d2 = jnp.where(rep, d2, jnp.inf)
+        sel_score, sel = jax.lax.top_k(-d2, min(cfg.search_num, m))
+        sel_ok = (-sel_score) <= cfg.search_radius ** 2
+    else:
+        raise ValueError(f"submap_mode must be 'radius' or 'recent', "
+                         f"got {cfg.submap_mode!r}")
 
     def gather(cloud, valid):
         pts = cloud[sel]                       # (S, C, 3)
@@ -212,10 +225,17 @@ def update_submap_cache(cache: SubmapCache, kf: KeyframeStore,
     sort instead of the ~0.5M-row full re-voxelization.  Slow path (pose
     strayed ``submap_rebuild_dist`` from the origin / loop correction /
     cache more than one keyframe behind): full ``extract_submap`` rebuild
-    around the current pose."""
+    around the current pose.
+
+    In ``submap_mode == "recent"`` the selection is the recency deque, whose
+    membership changes with every keyframe — the incremental merge cannot
+    express departures, so every step rebuilds (matching the reference's
+    per-step deque re-concatenation, mapOptmization.cpp:984-1000)."""
     moved = jnp.linalg.norm(center - cache.origin) > cfg.submap_rebuild_dist
     behind = (kf.count - cache.merged) > 1
     needs_rebuild = cache.stale | moved | behind
+    if cfg.submap_mode == "recent":
+        needs_rebuild = jnp.array(True)
 
     max_prune = cfg.search_radius + cfg.submap_rebuild_dist
 

@@ -154,3 +154,91 @@ def test_cache_rebuilds_when_stale(slam_run):
     # Rebuild recenters the Morton origin at the given pose.
     np.testing.assert_allclose(np.asarray(new_cache.origin),
                                np.asarray(st.t_aft.t), atol=1e-6)
+
+
+def _toy_store(cfg, n_kf, spacing=20.0):
+    """n_kf keyframes strung out along x at ``spacing`` (far beyond any
+    radius), each carrying a small distinctive corner/surf cloud."""
+    state = mapping.init_state(cfg)
+    kf = state.kf
+    rng = np.random.RandomState(0)
+    R = np.broadcast_to(np.eye(3, dtype=np.float32),
+                        (n_kf, 3, 3)).copy()
+    t = np.zeros((n_kf, 3), np.float32)
+    t[:, 0] = np.arange(n_kf) * spacing
+    corner = np.zeros((n_kf, cfg.scan_corner_cap, 3), np.float32)
+    surf = np.zeros((n_kf, cfg.scan_surf_cap, 3), np.float32)
+    cv = np.zeros((n_kf, cfg.scan_corner_cap), bool)
+    sv = np.zeros((n_kf, cfg.scan_surf_cap), bool)
+    corner[:, :6] = rng.uniform(-3, 3, (n_kf, 6, 3)).astype(np.float32)
+    surf[:, :10] = rng.uniform(-3, 3, (n_kf, 10, 3)).astype(np.float32)
+    cv[:, :6] = True
+    sv[:, :10] = True
+    kf = kf._replace(
+        R=kf.R.at[:n_kf].set(R), t=kf.t.at[:n_kf].set(t),
+        corner=kf.corner.at[:n_kf].set(corner),
+        corner_valid=kf.corner_valid.at[:n_kf].set(cv),
+        surf=kf.surf.at[:n_kf].set(surf),
+        surf_valid=kf.surf_valid.at[:n_kf].set(sv),
+        count=jnp.int32(n_kf))
+    return kf
+
+
+def test_recent_submap_mode_matches_reference_deque():
+    """submap_mode='recent' reproduces the reference's loop-closure-mode
+    recency deque (mapOptmization.cpp:961-1000): the submap is exactly the
+    union of the LAST search_num keyframes' clouds — including keyframes far
+    outside the radius that radius mode drops — voxel-downsampled."""
+    from legoloam_tpu.ops.voxel import voxel_downsample
+
+    n_kf, S = 8, 3
+    base = dataclasses.replace(SMALL_MAP, search_num=S, search_radius=5.0)
+    rec = dataclasses.replace(base, submap_mode="recent")
+    kf = _toy_store(rec, n_kf)
+    center = kf.t[n_kf - 1]
+
+    (c, cval), (s, sval) = mapping.extract_submap(kf, center, rec)
+
+    # Expected: concatenate the last S keyframes' clouds (ascending index,
+    # the deque order) in world frame and voxel-downsample identically.
+    sel = jnp.arange(n_kf - S, n_kf)
+    world_c = se3.transform_points(Pose(kf.R[sel], kf.t[sel]), kf.corner[sel])
+    world_s = se3.transform_points(Pose(kf.R[sel], kf.t[sel]), kf.surf[sel])
+    ec, ecv = voxel_downsample(world_c.reshape(-1, 3),
+                               kf.corner_valid[sel].reshape(-1),
+                               rec.corner_leaf, rec.submap_corner_cap,
+                               origin=center)
+    es, esv = voxel_downsample(world_s.reshape(-1, 3),
+                               kf.surf_valid[sel].reshape(-1),
+                               rec.surf_leaf, rec.submap_surf_cap,
+                               origin=center)
+    np.testing.assert_array_equal(np.asarray(cval), np.asarray(ecv))
+    np.testing.assert_allclose(np.asarray(c)[np.asarray(cval)],
+                               np.asarray(ec)[np.asarray(ecv)], atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(sval), np.asarray(esv))
+    np.testing.assert_allclose(np.asarray(s)[np.asarray(sval)],
+                               np.asarray(es)[np.asarray(esv)], atol=1e-6)
+    # The recent submap holds clouds from keyframes 40-140 m away...
+    assert int(jnp.sum(cval)) == S * 6
+    # ...which radius mode (5 m) would exclude: only the center keyframe's.
+    (rc, rcval), _ = mapping.extract_submap(kf, center, base)
+    assert int(jnp.sum(rcval)) == 6
+
+
+def test_recent_submap_cache_always_rebuilds():
+    """In recent mode the cache rebuilds every step: after two consecutive
+    updates with a GROWING store the cache equals a fresh extract_submap (an
+    incremental merge could never evict the departed keyframe)."""
+    n_kf, S = 6, 3
+    rec = dataclasses.replace(SMALL_MAP, search_num=S, search_radius=5.0,
+                              submap_mode="recent")
+    kf_small = _toy_store(rec, n_kf - 1)
+    kf_full = _toy_store(rec, n_kf)
+    center = kf_full.t[n_kf - 1]
+    cache = mapping.init_state(rec).cache
+    cache = mapping.update_submap_cache(cache, kf_small, center, rec)
+    cache = mapping.update_submap_cache(cache, kf_full, center, rec)
+    (ec, ecv), _ = mapping.extract_submap(kf_full, center, rec)
+    np.testing.assert_array_equal(np.asarray(cache.c_valid), np.asarray(ecv))
+    np.testing.assert_allclose(np.asarray(cache.c_pts)[np.asarray(ecv)],
+                               np.asarray(ec)[np.asarray(ecv)], atol=1e-6)

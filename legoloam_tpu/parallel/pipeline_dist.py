@@ -554,21 +554,41 @@ def slam_scan_step_dist(
     run_loop: bool = False,
     axis: str = "data",
     imu_integral=None,
+    bootstrap: bool = False,
 ):
     """One full SLAM step on the mesh.  The frontend + odometry are the
     sequential single-program stages (replicated); mapping and the pose graph
     run sharded.  Mirrors ``pipeline.slam_scan_step`` (including its IMU
-    path: de-skew + gyro-seeded initial guess + mapping attitude blend)."""
+    path: de-skew + gyro-seeded initial guess + mapping attitude blend, and
+    the STATIC ``bootstrap`` scan-1 double-resolve — see
+    ``pipeline.slam_scan_step``'s bootstrap doc)."""
     imu_rpy_end = None
     if imu_integral is not None:
         feats, dsk = pipeline_mod.process_scan_with_imu(
             points, valid, ring, cfg, imu_integral, scan_time)
         seed = pipeline_mod.imu_xi_seed(dsk, cfg.sensor.scan_period)
         xi_seed = jnp.concatenate([seed[:3], state.odom.xi[3:]])
+        if bootstrap:
+            for _ in range(2):
+                ns, _, _ = odom.odometry_step(state.odom, feats, cfg.odom,
+                                              xi_seed=xi_seed,
+                                              imu_rot=dsk.ang_delta)
+                xi_seed = ns.xi
+        odom_state, pose, diag = odom.odometry_step(
+            state.odom, feats, cfg.odom, xi_seed=xi_seed,
+            imu_rot=dsk.ang_delta)
+        out = pipeline_mod.OdometryOutput(pose=pose, diag=diag)
+        imu_rpy_end = dsk.rpy_start + dsk.ang_delta
+    elif bootstrap:
+        feats = pipeline_mod.process_scan(points, valid, ring, cfg)
+        xi_seed = state.odom.xi
+        for _ in range(2):
+            ns, _, _ = odom.odometry_step(state.odom, feats, cfg.odom,
+                                          xi_seed=xi_seed)
+            xi_seed = ns.xi
         odom_state, pose, diag = odom.odometry_step(
             state.odom, feats, cfg.odom, xi_seed=xi_seed)
         out = pipeline_mod.OdometryOutput(pose=pose, diag=diag)
-        imu_rpy_end = dsk.rpy_start + dsk.ang_delta
     else:
         odom_state, out = pipeline_mod.odometry_scan_step(
             state.odom, points, valid, ring, cfg)
@@ -594,9 +614,91 @@ def slam_scan_step_dist(
             fused_pose=fused, diag=out.diag)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "mesh", "axis",
+                                             "run_loop", "bootstrap"))
+def slam_scan_block_dist(
+    state: DistSlamState,
+    points: jax.Array,      # (B, P, 3) — B consecutive scans
+    valid: jax.Array,       # (B, P)
+    ring: jax.Array,        # (B, P)
+    cfg: PipelineConfig,
+    mesh: Mesh,
+    scan_times: jax.Array,  # (B,)
+    run_loop: bool = False,
+    axis: str = "data",
+    imu_integrals=None,     # ImuIntegral with leaves stacked on a leading B
+    bootstrap: bool = False,
+):
+    """B consecutive distributed SLAM scans fused into ONE XLA program — the
+    mesh counterpart of ``pipeline.slam_scan_block``, with identical
+    semantics: scan-to-map (sharded) on the block's first scan, odometry +
+    fusion every scan, optional loop closure after the mapping step,
+    ``bootstrap`` double-resolve on local scan 1 of the FIRST block.  On real
+    multi-chip hardware this amortizes the per-program dispatch overhead the
+    single-chip block modes exist for (PERF.md); the streaming
+    ``slam_scan_step_dist`` launches one program per stage per scan."""
+    if bootstrap and points.shape[0] < 2:
+        raise ValueError(
+            "slam_scan_block_dist(bootstrap=True) needs a block of >= 2 "
+            "scans (the double-resolve applies to scan index 1)")
+    odom_state = state.odom
+    map_state = state.mapping
+    loops = state.loops
+    outs = []
+    for j in range(points.shape[0]):
+        imu_rpy_end = None
+        imu_rot = None
+        if imu_integrals is not None:
+            integ_j = jax.tree.map(lambda a: a[j], imu_integrals)
+            feats, dsk = pipeline_mod.process_scan_with_imu(
+                points[j], valid[j], ring[j], cfg, integ_j, scan_times[j])
+            seed = pipeline_mod.imu_xi_seed(dsk, cfg.sensor.scan_period)
+            xi_seed = jnp.concatenate([seed[:3], odom_state.xi[3:]])
+            imu_rot = dsk.ang_delta
+            imu_rpy_end = dsk.rpy_start + dsk.ang_delta
+        else:
+            feats = pipeline_mod.process_scan(points[j], valid[j], ring[j],
+                                              cfg)
+            xi_seed = odom_state.xi
+        if bootstrap and j == 1:
+            for _ in range(2):
+                ns, _, _ = odom.odometry_step(odom_state, feats, cfg.odom,
+                                              xi_seed=xi_seed,
+                                              imu_rot=imu_rot)
+                xi_seed = ns.xi
+        odom_state, pose, diag = odom.odometry_step(
+            odom_state, feats, cfg.odom, xi_seed=xi_seed, imu_rot=imu_rot)
+        if j == 0:
+            map_state, _mapped, _mdiag = mapping_step_dist(
+                map_state, odom_state.last_corner, odom_state.last_surf,
+                odom_state.last_outlier, pose, scan_times[j], cfg.mapping,
+                mesh, axis, imu_rpy=imu_rpy_end,
+                ground_cloud=odom_state.last_flat)
+            if run_loop and cfg.loop.enabled:
+                kf, loops, corrected, ldiag = close_and_correct_dist(
+                    map_state.kf, loops, cfg.loop, cfg.posegraph, mesh, axis)
+                t_aft = jax.tree.map(
+                    lambda a, b: jnp.where(ldiag.closed, a, b), corrected,
+                    map_state.t_aft)
+                map_state = map_state._replace(kf=kf, t_aft=t_aft)
+        fused = fusion_mod.fuse(pose, map_state.t_bef, map_state.t_aft)
+        outs.append(pipeline_mod.SlamOutput(
+            odom_pose=pose, mapped_pose=map_state.t_aft, fused_pose=fused,
+            diag=diag))
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *outs)
+    return DistSlamState(odom=odom_state, mapping=map_state, loops=loops), \
+        stacked
+
+
 def run_slam_sequence_dist(scans, cfg: PipelineConfig, mesh: Mesh,
-                           times=None, axis: str = "data"):
-    """Host driver for the distributed pipeline; returns fused trajectory."""
+                           times=None, axis: str = "data",
+                           imu_integrals=None):
+    """Host driver for the distributed pipeline; returns fused trajectory.
+
+    Full parity with the single-device ``pipeline.run_slam_sequence``:
+    scan-1 ``bootstrap`` double-resolve, per-scan IMU integrals
+    (``imu_integrals``: a sequence of ``deskew.ImuIntegral``, one per scan,
+    or None), loop-closure cadence on data time."""
     state = init_dist_state(cfg, mesh, axis)
     sched = pipeline_mod.LoopScheduler(cfg)
     fused_R, fused_t = [], []
@@ -605,7 +707,9 @@ def run_slam_sequence_dist(scans, cfg: PipelineConfig, mesh: Mesh,
         state, out = slam_scan_step_dist(
             state, pts, valid, ring, cfg, mesh, t,
             run_mapping=(k % cfg.mapping_every == 0),
-            run_loop=sched.due(t), axis=axis)
+            run_loop=sched.due(t), axis=axis,
+            imu_integral=None if imu_integrals is None else imu_integrals[k],
+            bootstrap=(k == 1))
         fused_R.append(out.fused_pose.R)
         fused_t.append(out.fused_pose.t)
     return Pose(jnp.stack(fused_R), jnp.stack(fused_t)), state

@@ -354,6 +354,40 @@ class LoopClosureConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class RelocalizeConfig:
+    """Kidnapped-robot relocalization against a restored keyframe map
+    (models/relocalize.py — the loop-closure ICP machinery,
+    mapOptmization.cpp:875-945, generalized to multi-session resume; the
+    reference itself has no relocalization)."""
+
+    # Candidate keyframe cells: positions deduped at candidate_leaf, ranked
+    # by distance to the prior belief.  n_candidates >= the number of
+    # occupied cells makes the search global.
+    candidate_leaf: float = 5.0
+    n_candidates: int = 16
+    # Headings tried per candidate (revisits approach from any direction;
+    # point-to-point ICP needs a rough initial heading).
+    yaw_hypotheses: int = 4
+    # ±window keyframes form each candidate's history submap
+    # (historyKeyframeSearchNum analogue, utility.h:133).
+    window: int = 12
+    submap_leaf: float = 0.4
+    scan_leaf: float = 0.4
+    cur_cap: int = 4096
+    hist_cap: int = 16384
+    icp_max_corr_dist: float = 100.0
+    # Two-stage search: every hypothesis gets ``coarse_iters`` ICP
+    # iterations (enough to separate the right place by fitness); the
+    # winner alone gets the full ``icp_max_iters`` refine (the reference's
+    # 100-iteration ICP setting, mapOptmization.cpp:894).
+    coarse_iters: int = 10
+    icp_max_iters: int = 60
+    icp_eps: float = 1e-6
+    icp_backend: str = "auto"
+    fitness_thresh: float = 0.3                # getFitnessScore accept bound
+
+
+@dataclasses.dataclass(frozen=True)
 class PoseGraphConfig:
     """Incremental SE(3) pose-graph optimizer replacing gtsam iSAM2
     (reference: mapOptmization.cpp:36-47,1353-1454).
@@ -394,6 +428,7 @@ class PipelineConfig:
     mapping: MappingConfig = MappingConfig()
     loop: LoopClosureConfig = LoopClosureConfig()
     posegraph: PoseGraphConfig = PoseGraphConfig()
+    reloc: RelocalizeConfig = RelocalizeConfig()
     # (No use_imu flag: the IMU path is enabled by PRESENCE — pass an
     # ``imu_integral`` to the step functions / ``--imu`` to the CLI.  A config
     # flag duplicating that would be dead state.)

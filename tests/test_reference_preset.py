@@ -14,6 +14,7 @@ import dataclasses
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from legoloam_tpu.config import DEFAULT, REFERENCE
 from legoloam_tpu.models import pipeline
@@ -42,12 +43,38 @@ def test_reference_preset_values():
     assert REFERENCE.sensor == DEFAULT.sensor
 
 
+def _ref_cfg():
+    return REFERENCE.replace(mapping=dataclasses.replace(
+        REFERENCE.mapping, max_keyframes=128, submap_corner_cap=8192,
+        submap_surf_cap=16384, scan_corner_cap=1024, scan_surf_cap=4096))
+
+
+def test_reference_preset_smoke():
+    """Default-tier: one mapping cadence of full SLAM under the
+    reference-exact configuration compiles and stays finite (the 33-scan
+    accuracy run is the slow-tier test below)."""
+    cfg = _ref_cfg()
+    scene = synthetic.default_scene()
+    n = 5
+    poses = synthetic.circle_trajectory(n, radius=20.0, angular_rate=0.0075)
+    state = pipeline.init_slam_state(cfg)
+    for k in range(n):
+        pk = Pose(poses.R[k], poses.t[k])
+        nxt = Pose(poses.R[min(k + 1, n - 1)], poses.t[min(k + 1, n - 1)])
+        scan = synthetic.raycast_scan(scene, pk, cfg.sensor, next_pose=nxt,
+                                      motion=k + 1 < n)
+        state, out = pipeline.slam_scan_step(
+            state, *scan, cfg, k * 0.1,
+            run_mapping=(k % cfg.mapping_every == 0))
+    assert np.all(np.isfinite(np.asarray(out.fused_pose.t)))
+    assert int(state.mapping.kf.count) >= 1
+
+
+@pytest.mark.slow
 def test_reference_preset_end_to_end():
     """30+ scans of full SLAM (odometry + mapping + fusion) under the
     reference-exact configuration: finite output, bounded ATE."""
-    cfg = REFERENCE.replace(mapping=dataclasses.replace(
-        REFERENCE.mapping, max_keyframes=128, submap_corner_cap=8192,
-        submap_surf_cap=16384, scan_corner_cap=1024, scan_surf_cap=4096))
+    cfg = _ref_cfg()
     scene = synthetic.default_scene()
     n = 33
     poses = synthetic.circle_trajectory(n, radius=20.0, angular_rate=0.0075)

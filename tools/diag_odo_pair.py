@@ -34,6 +34,10 @@ def main():
                     help="scan index along the circle")
     ap.add_argument("--iters", type=int, default=12)
     ap.add_argument("--damping", type=float, default=None)
+    ap.add_argument("--noise", type=float, default=0.0,
+                    help="per-range Gaussian noise sigma (m) — for chasing "
+                         "the noiseless-vs-noisy accuracy paradox")
+    ap.add_argument("--noise-seed", type=int, default=0)
     args = ap.parse_args()
     if args.backend:
         jax.config.update("jax_platforms", args.backend)
@@ -61,10 +65,14 @@ def main():
     motion = not args.no_motion
 
     def scan(k):
+        kw = {}
+        if args.noise > 0:
+            kw = dict(noise_key=jax.random.PRNGKey(args.noise_seed + k),
+                      noise_sigma=args.noise)
         return synthetic.raycast_scan(
             scene, Pose(poses.R[k], poses.t[k]), cfg.sensor,
             next_pose=Pose(poses.R[k + 1], poses.t[k + 1]) if motion else None,
-            motion=motion)
+            motion=motion, **kw)
 
     fa = pipeline.process_scan(*scan(kA), cfg)
     fb = pipeline.process_scan(*scan(kB), cfg)

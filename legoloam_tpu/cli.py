@@ -40,6 +40,12 @@ def main(argv=None):
     ap.add_argument("--odometry-only", action="store_true",
                     help="skip mapping (BASELINE config 2 mode)")
     ap.add_argument("--resume", default=None, help="checkpoint to resume from")
+    ap.add_argument("--relocalize", action="store_true",
+                    help="with --resume: relocalize the first scan in the "
+                         "restored keyframe map (ICP hypothesis sweep, "
+                         "models/relocalize.py) before continuing — for "
+                         "multi-session runs where the robot does not "
+                         "restart where the previous session ended")
     ap.add_argument("--checkpoint-every", type=int, default=500)
     ap.add_argument("--map-every", type=int, default=2000, metavar="N",
                     help="export the downsampled global map every N scans "
@@ -115,6 +121,11 @@ def main(argv=None):
 
     # --- run ---
     mesh = None
+    if args.relocalize and not args.resume:
+        ap.error("--relocalize requires --resume (a restored keyframe map)")
+    if args.relocalize and args.mesh:
+        ap.error("--relocalize is single-device for now: relocalize on one "
+                 "device, checkpoint, then resume under --mesh")
     if args.mesh:
         from .parallel import mesh as mesh_mod, pipeline_dist
         n_dev = len(jax.devices())
@@ -192,6 +203,13 @@ def main(argv=None):
                     run_loop=sched.due(t),
                     imu_integral=integ,
                     bootstrap=(k == 1 and not args.resume))
+        if k == 0 and args.relocalize and args.resume and mesh is None:
+            from .models import relocalize as reloc_mod
+            state, rdiag = reloc_mod.relocalize_slam_state(state, cfg)
+            print(f"[reloc] accepted={bool(rdiag.accepted)} "
+                  f"candidate={int(rdiag.candidate)} "
+                  f"fitness={float(rdiag.fitness):.4f}")
+            out = out._replace(fused_pose=state.mapping.t_aft)
         fused_R.append(out.fused_pose.R)
         fused_t.append(out.fused_pose.t)
         times.append(t)

@@ -382,6 +382,10 @@ class RelocalizeConfig:
     # 100-iteration ICP setting, mapOptmization.cpp:894).
     coarse_iters: int = 10
     icp_max_iters: int = 60
+    # The top-K coarse hypotheses are refined and the best REFINED fitness
+    # wins — a single coarse winner can be a false match on self-similar
+    # worlds (see models/relocalize.py).
+    refine_top_k: int = 4
     icp_eps: float = 1e-6
     icp_backend: str = "auto"
     fitness_thresh: float = 0.3                # getFitnessScore accept bound

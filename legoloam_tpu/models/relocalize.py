@@ -104,9 +104,9 @@ def relocalize(
     yaws = jnp.arange(cfg.yaw_hypotheses) * (
         2.0 * jnp.pi / max(cfg.yaw_hypotheses, 1))
 
-    def try_hypothesis(carry, h):
+    def try_hypothesis(_, h):
         """Coarse stage: a few ICP iterations per hypothesis — enough to
-        separate the right place from the wrong ones by fitness."""
+        separate plausible places from hopeless ones by fitness."""
         ci, yi = h // cfg.yaw_hypotheses, h % cfg.yaw_hypotheses
         idx = cand[ci]
         ok = cand_ok[ci]
@@ -127,31 +127,43 @@ def relocalize(
         fit = jnp.where(ok & (res.n_corr > 10), res.fitness, jnp.inf)
         T_fix = Pose(se3.mat3_mul(res.pose.R, T_h.R),
                      se3.rotate_vec(res.pose.R, T_h.t) + res.pose.t)
-        best_fit, best_T, best_idx = carry
-        better = fit < best_fit
-        new_T = jax.tree.map(lambda a, b: jnp.where(better, a, b), T_fix,
-                             best_T)
-        return (jnp.where(better, fit, best_fit), new_T,
-                jnp.where(better, idx, best_idx)), None
+        return None, (fit, T_fix.R, T_fix.t, idx)
 
     n_hyp = n_cand * max(cfg.yaw_hypotheses, 1)
-    (coarse_fit, coarse_T, best_idx), _ = jax.lax.scan(
-        try_hypothesis, (jnp.float32(jnp.inf), prior, jnp.int32(-1)),
-        jnp.arange(n_hyp))
+    _, (fits, Rs, ts, idxs) = jax.lax.scan(
+        try_hypothesis, None, jnp.arange(n_hyp))
 
-    # Refine stage: the winning hypothesis runs the full-length ICP against
-    # its candidate window (the reference's 100-iteration setting).
-    any_hyp = jnp.isfinite(coarse_fit)
-    hist_pts, hist_val = _window_cloud(kf, jnp.maximum(best_idx, 0), cfg)
-    placed = se3.transform_points(coarse_T, pts)
-    res = icp_ops.icp(placed, val & any_hyp, hist_pts, hist_val & any_hyp,
-                      Pose.identity(),
-                      max_corr_dist=cfg.icp_max_corr_dist,
-                      max_iters=cfg.icp_max_iters,
-                      eps=cfg.icp_eps, backend=cfg.icp_backend)
-    best_fit = jnp.where(any_hyp & (res.n_corr > 10), res.fitness, jnp.inf)
-    best_T = Pose(se3.mat3_mul(res.pose.R, coarse_T.R),
-                  se3.rotate_vec(res.pose.R, coarse_T.t) + res.pose.t)
+    # Refine stage: the top-K coarse hypotheses each run the full-length ICP
+    # (the reference's 100-iteration setting) and the best REFINED fitness
+    # wins.  Refining only the single coarse winner is not enough: on
+    # self-similar worlds a WRONG place can out-score the true one at coarse
+    # depth (measured on the ring world: false match coarse-refined to
+    # fitness 0.23 < the 0.3 gate while the true place sat in coarse rank
+    # 2-4 and refines to ~0.05).
+    k_ref = min(cfg.refine_top_k, n_hyp)
+    _, top = jax.lax.top_k(-fits, k_ref)
+
+    best_fit, best_T, best_idx = (jnp.float32(jnp.inf), prior,
+                                  jnp.int32(-1))
+    for r in range(k_ref):
+        h = top[r]
+        ok_r = jnp.isfinite(fits[h])
+        T_c = Pose(Rs[h], ts[h])
+        hist_pts, hist_val = _window_cloud(kf, jnp.maximum(idxs[h], 0), cfg)
+        placed = se3.transform_points(T_c, pts)
+        res = icp_ops.icp(placed, val & ok_r, hist_pts, hist_val & ok_r,
+                          Pose.identity(),
+                          max_corr_dist=cfg.icp_max_corr_dist,
+                          max_iters=cfg.icp_max_iters,
+                          eps=cfg.icp_eps, backend=cfg.icp_backend)
+        fit_r = jnp.where(ok_r & (res.n_corr > 10), res.fitness, jnp.inf)
+        T_r = Pose(se3.mat3_mul(res.pose.R, T_c.R),
+                   se3.rotate_vec(res.pose.R, T_c.t) + res.pose.t)
+        better = fit_r < best_fit
+        best_T = jax.tree.map(lambda a, b: jnp.where(better, a, b), T_r,
+                              best_T)
+        best_fit = jnp.where(better, fit_r, best_fit)
+        best_idx = jnp.where(better, idxs[h], best_idx)
 
     accepted = (best_fit < cfg.fitness_thresh) & (kf.count > 0)
     T_out = jax.tree.map(lambda a, b: jnp.where(accepted, a, b), best_T,

@@ -172,6 +172,16 @@ class OdometryConfig:
     step_damping: float = 0.2262
     nearest_sq_dist: float = 25.0          # nearestFeatureSearchSqDist (utility.h:125)
     ring_window: float = 2.5               # +-2.5 rings for the 2nd point (1063,1174)
+    # Height-consistency gate on the surf correspondence tripod (stabilizer;
+    # 0 = off = reference behavior): drop (j,l,m) planes whose points spread
+    # more than this vertically, or whose query sits farther than this above
+    # the anchor.  Step A's queries are ground picks; mixed ground+structure
+    # tripods within the 5 m search radius tilt the plane slightly and leak
+    # along-track displacement into the [pitch, roll, height] solve
+    # (measured -0.29 deg pitch per 0.8 m scan on the circuit straights ->
+    # z corkscrew; the gate cuts it 22x.  See
+    # models/odometry.py:_find_surf_corr and PERF.md round 4).
+    surf_tripod_max_dz: float = 0.2
     min_corner_last: int = 10              # featureAssociation.cpp:1668
     min_surf_last: int = 100
     degeneracy_eig_thresh: float = 10.0    # featureAssociation.cpp:1339
@@ -471,7 +481,8 @@ REFERENCE = PipelineConfig(
         surf_per_section=4),
     odom=dataclasses.replace(
         OdometryConfig(), max_iterations=25, corr_refresh_every=5,
-        step_damping=0.05, robust_after_iter=5, warp_blend=1.0),
+        step_damping=0.05, robust_after_iter=5, warp_blend=1.0,
+        surf_tripod_max_dz=0.0),
     mapping=dataclasses.replace(
         MappingConfig(), corr_refresh_every=1, min_lm_keyframes=0,
         max_step_trans=0.0, max_step_rot_deg=0.0,

@@ -133,7 +133,28 @@ def _find_surf_corr(p_warped, q_valid, last: FeatureCloud,
     t3 = last.xyz[i2[1]]
     n, _ = lm.point_to_plane(p_warped, t1, t2, t3)
     off = -jnp.sum(n * t1, axis=-1)
-    return _Corr(n=n, off=off, t1=t1, t2=t3, valid=j_ok & l_ok & m_ok)
+    ok = j_ok & l_ok & m_ok
+    if cfg.surf_tripod_max_dz > 0:
+        # Height-consistency gate on the correspondence tripod (TPU-side
+        # stabilizer; reference has none, 0 disables): step A's queries are
+        # GROUND picks (featureAssociation.cpp:736-749), but the (j,l,m)
+        # tripod comes from the full less-flat cloud within a 5 m search
+        # radius (nearestFeatureSearchSqDist=25) — near structure bases it
+        # mixes ground with wall/crate points, and the slightly-tilted
+        # mixed plane couples the un-modeled along-track displacement into
+        # the [pitch, roll, height] solve.  Measured on the 0.8 m/scan
+        # circuit straights: -0.29 deg pitch per scan (the dominant
+        # odometry drift there, corkscrewing z to +116 m over 600 scans);
+        # gating tripods to a dz window kills it 22x (-0.013 deg) while
+        # keeping ~80% of the correspondences (tools/diag_odo_pair.py,
+        # PERF.md round 4).  Sensor-frame ground stays height-consistent on
+        # slopes (the vehicle tilts with the terrain), so the gate only
+        # drops genuine mixed-structure tripods.
+        zs = jnp.stack([t1[:, 2], t2[:, 2], t3[:, 2]], axis=1)
+        spread = zs.max(axis=1) - zs.min(axis=1)
+        qz = jnp.abs(p_warped[:, 2] - t1[:, 2])
+        ok = ok & (spread < cfg.surf_tripod_max_dz)             & (qz < cfg.surf_tripod_max_dz)
+    return _Corr(n=n, off=off, t1=t1, t2=t3, valid=ok)
 
 
 def _find_corner_corr(p_warped, q_valid, last: FeatureCloud,

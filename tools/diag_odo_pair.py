@@ -28,8 +28,14 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--backend", default=None)
     ap.add_argument("--no-motion", action="store_true")
+    ap.add_argument("--deskew-off", action="store_true",
+                    help="with --no-motion: run the pipeline's rigid-scan "
+                         "convention (deskew=False, rel_time=1 full-pose "
+                         "warp) instead of leaving the azimuth warp model "
+                         "on — the apples-to-apples rigid experiment")
     ap.add_argument("--zero-reltime", action="store_true")
     ap.add_argument("--seed", default="gt", choices=["gt", "zero"])
+    ap.add_argument("--world", default="loop", choices=["loop", "circuit"])
     ap.add_argument("--k", type=int, default=20,
                     help="scan index along the circle")
     ap.add_argument("--iters", type=int, default=12)
@@ -58,9 +64,13 @@ def main():
         o = dataclasses.replace(o, step_damping=args.damping)
     cfg = cfg.replace(odom=o)
 
-    scene = synthetic.loop_scene()
-    poses = synthetic.circle_trajectory(args.k + 3, radius=30.0,
-                                        angular_rate=0.009)
+    if args.world == "circuit":
+        scene = synthetic.circuit_scene(100.0)
+        poses = synthetic.circuit_trajectory(args.k + 3, half=100.0)
+    else:
+        scene = synthetic.loop_scene()
+        poses = synthetic.circle_trajectory(args.k + 3, radius=30.0,
+                                            angular_rate=0.009)
     kA, kB = args.k, args.k + 1
     motion = not args.no_motion
 
@@ -74,6 +84,8 @@ def main():
             next_pose=Pose(poses.R[k + 1], poses.t[k + 1]) if motion else None,
             motion=motion, **kw)
 
+    if args.deskew_off:
+        cfg = cfg.replace(deskew=False)
     fa = pipeline.process_scan(*scan(kA), cfg)
     fb = pipeline.process_scan(*scan(kB), cfg)
 
@@ -92,6 +104,11 @@ def main():
                                                 poses.t[kA + 1])))
         last_corner = odom._warp_to_end(xi_a_gt, fa.less_sharp)
         last_surf = odom._warp_to_end(xi_a_gt, fa.less_flat)
+    elif args.deskew_off:
+        # deskew=False semantics: rel_time==1 everywhere, warp_to_end is the
+        # identity — the reference clouds are scan A's features as-is.
+        last_corner = fa.less_sharp
+        last_surf = fa.less_flat
     else:
         last_corner = fa.less_sharp._replace(rel_time=jnp.zeros_like(
             fa.less_sharp.rel_time))
@@ -115,6 +132,10 @@ def main():
         fb.sharp, last_corner, xi_a, cfg.odom, odom._find_corner_corr,
         odom._CORNER_DOF, is_line=True)
 
+    ea = np.asarray(xi_a - xi_gt)
+    print(f"  surf-step BIAS rot_deg=({np.degrees(ea[0]):+.4f},"
+          f"{np.degrees(ea[1]):+.4f},{np.degrees(ea[2]):+.4f}) "
+          f"t=({ea[3]:+.4f},{ea[4]:+.4f},{ea[5]:+.4f})")
     e = np.asarray(xi_b - xi_gt)
     print(f"k={kA} motion={motion} zero_reltime={args.zero_reltime} "
           f"seed={args.seed} iters={args.iters} "

@@ -46,6 +46,9 @@ def main():
     ap.add_argument("--set-map", action="append", default=[], metavar="K=V",
                     help="override MappingConfig fields, e.g. "
                          "--set-map ground_anchor=0 --set-map prior_trans_std=0")
+    ap.add_argument("--set-odo", action="append", default=[], metavar="K=V",
+                    help="override OdometryConfig fields, e.g. "
+                         "--set-odo max_iterations=10")
     ap.add_argument("--circuit-half", type=float, default=100.0,
                     help="circuit world half-size (100 -> ~766 m lap; 200 "
                          "-> ~1570 m lap, enough drift to exceed the "
@@ -83,6 +86,19 @@ def main():
                 cast = type(cur)(float(val))
             m = dataclasses.replace(m, **{key: cast})
         cfg = cfg.replace(mapping=m)
+    if args.set_odo:
+        o = cfg.odom
+        for kv in args.set_odo:
+            key, val = kv.split("=", 1)
+            cur = getattr(o, key)
+            if isinstance(cur, bool):
+                cast = val == "True"
+            elif isinstance(cur, str):
+                cast = val
+            else:
+                cast = type(cur)(float(val))
+            o = dataclasses.replace(o, **{key: cast})
+        cfg = cfg.replace(odom=o)
 
     scene = (synthetic.loop_scene() if args.world == "loop"
              else synthetic.circuit_scene(args.circuit_half)

@@ -266,6 +266,13 @@ class MappingConfig:
     # since the last merge; otherwise each mapping step folds in at most one
     # new keyframe (weighted-centroid merge — associative, so exact).
     submap_rebuild_dist: float = 10.0
+    # Pending keyframes fold into the cached submap in ONE re-voxelization
+    # every this many insertions (update_submap_cache) instead of per step —
+    # the per-step ~57K-row sort was the dominant mapping-step cost on the
+    # chip.  Between folds the submap lags at most batch-1 keyframes (the
+    # most recent = most redundant with the current scan); 1 restores the
+    # per-step merge.
+    submap_merge_batch: int = 4
     # Submap keyframe selection:
     #   "radius" (default) — the reference's loopClosureEnableFlag=false path
     #     (mapOptmization.cpp:1001-1056): position-deduped radius search, with

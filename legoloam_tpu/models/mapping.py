@@ -230,9 +230,20 @@ def update_submap_cache(cache: SubmapCache, kf: KeyframeStore,
     In ``submap_mode == "recent"`` the selection is the recency deque, whose
     membership changes with every keyframe — the incremental merge cannot
     express departures, so every step rebuilds (matching the reference's
-    per-step deque re-concatenation, mapOptmization.cpp:984-1000)."""
+    per-step deque re-concatenation, mapOptmization.cpp:984-1000).
+
+    BATCHED FOLDS (``cfg.submap_merge_batch`` = B > 1): pending keyframes
+    accumulate and fold in ONE sort every B mapping steps instead of a
+    ~57K-row re-voxelization per step — the dominant mapping-step cost on
+    the chip.  Between folds the submap lags at most B-1 keyframes, which
+    are the most recent (hence most redundant with the current scan) of a
+    50 m radius set; while the map is young (< 8 keyframes) every pending
+    keyframe folds immediately so the cold-start submap never lags."""
+    B = max(int(cfg.submap_merge_batch), 1)
+    m = kf.t.shape[0]
+    pending = kf.count - cache.merged
     moved = jnp.linalg.norm(center - cache.origin) > cfg.submap_rebuild_dist
-    behind = (kf.count - cache.merged) > 1
+    behind = pending > B
     needs_rebuild = cache.stale | moved | behind
     if cfg.submap_mode == "recent":
         needs_rebuild = jnp.array(True)
@@ -249,40 +260,52 @@ def update_submap_cache(cache: SubmapCache, kf: KeyframeStore,
                            prune_r=jnp.float32(max_prune))
 
     def incremental():
-        idx = jnp.minimum(cache.merged, kf.t.shape[0] - 1)
-        advance = cache.merged < kf.count     # consume one pending keyframe
-        # Position-dedup consistency with extract_submap: fold the new
+        fold_now = (pending >= B) \
+            | ((kf.count <= 8) & (pending >= 1))
+        n_fold = jnp.minimum(pending, B)
+        idxs = jnp.minimum(cache.merged + jnp.arange(B), m - 1)
+        take = (jnp.arange(B) < n_fold) & fold_now
+        # Position-dedup consistency with extract_submap: fold a pending
         # keyframe's points only if it is its 1 m cell's representative (no
         # EARLIER keyframe occupies the cell; dedup_positions picks the
         # lowest index, which never changes as keyframes accrete, so
         # skipping non-representatives here reproduces the rebuild's dedup
         # exactly).  Non-representatives still advance ``merged``.
         cells = _pos_cell(kf.t, cache.origin, cfg.surrounding_leaf)
-        earlier = jnp.arange(kf.t.shape[0]) < idx
-        is_rep = ~jnp.any(earlier & (cells == cells[idx]))
-        has_new = advance & is_rep
-        R, t = kf.R[idx], kf.t[idx]
+        earlier = jnp.arange(m)[None, :] < idxs[:, None]        # (B, m)
+        is_rep = ~jnp.any(earlier & (cells[None, :] == cells[idxs][:, None]),
+                          axis=1)                               # (B,)
+        has_new = take & is_rep
+        R, t = kf.R[idxs], kf.t[idxs]                           # (B, 3, 3)
         prune_r2 = cache.prune_r ** 2
 
-        def merge(cached_pts, cached_cnt, cached_valid, cloud, cloud_valid,
+        def merge(cached_pts, cached_cnt, cached_valid, clouds, clouds_valid,
                   leaf, cap):
-            world = se3.apply(Pose(R, t), cloud)
-            pts = jnp.concatenate([cached_pts, world], axis=0)
+            world = se3.transform_points(Pose(R, t), clouds)    # (B, C, 3)
+            new_pts = world.reshape(-1, 3)
+            new_ok = (clouds_valid & has_new[:, None]).reshape(-1)
+            pts = jnp.concatenate([cached_pts, new_pts], axis=0)
             w = jnp.concatenate(
-                [cached_cnt,
-                 (cloud_valid & has_new).astype(cached_cnt.dtype)], axis=0)
-            ok = jnp.concatenate([cached_valid, cloud_valid & has_new],
-                                 axis=0)
+                [cached_cnt, new_ok.astype(cached_cnt.dtype)], axis=0)
+            ok = jnp.concatenate([cached_valid, new_ok], axis=0)
             ok = ok & (jnp.sum((pts - cache.origin) ** 2, axis=-1) < prune_r2)
             return voxel_downsample(pts, ok, leaf, cap, origin=cache.origin,
                                     weights=w, return_counts=True)
 
-        c, cv, cc = merge(cache.c_pts, cache.c_cnt, cache.c_valid,
-                          kf.corner[idx], kf.corner_valid[idx],
-                          cfg.corner_leaf, cfg.submap_corner_cap)
-        s, sv, sc = merge(cache.s_pts, cache.s_cnt, cache.s_valid,
-                          kf.surf[idx], kf.surf_valid[idx],
-                          cfg.surf_leaf, cfg.submap_surf_cap)
+        def fold():
+            c, cv, cc = merge(cache.c_pts, cache.c_cnt, cache.c_valid,
+                              kf.corner[idxs], kf.corner_valid[idxs],
+                              cfg.corner_leaf, cfg.submap_corner_cap)
+            s, sv, sc = merge(cache.s_pts, cache.s_cnt, cache.s_valid,
+                              kf.surf[idxs], kf.surf_valid[idxs],
+                              cfg.surf_leaf, cfg.submap_surf_cap)
+            return c, cv, cc, s, sv, sc
+
+        def skip():
+            return (cache.c_pts, cache.c_valid, cache.c_cnt,
+                    cache.s_pts, cache.s_valid, cache.s_cnt)
+
+        c, cv, cc, s, sv, sc = jax.lax.cond(fold_now, fold, skip)
         # Adapt the prune radius from voxel occupancy: when either channel
         # nears its cap, overflow would drop the HIGHEST Morton keys — a
         # spatially biased corner of the map.  Shrinking the radius instead
@@ -295,11 +318,12 @@ def update_submap_cache(cache: SubmapCache, kf: KeyframeStore,
                           jnp.minimum(cache.prune_r * 1.02,
                                       jnp.float32(max_prune)))
         new_r = jnp.maximum(new_r, jnp.float32(cfg.search_radius))
+        new_r = jnp.where(fold_now, new_r, cache.prune_r)
         return SubmapCache(c_pts=c, c_cnt=cc, c_valid=cv,
                            s_pts=s, s_cnt=sc, s_valid=sv,
                            origin=cache.origin,
                            merged=cache.merged
-                           + jnp.where(advance, 1, 0).astype(jnp.int32),
+                           + jnp.where(fold_now, n_fold, 0).astype(jnp.int32),
                            stale=jnp.array(False),
                            prune_r=new_r.astype(jnp.float32))
 

@@ -16,7 +16,13 @@ from legoloam_tpu.utils import metrics, synthetic
 # CPU-sized capacities.
 SMALL_MAP = dataclasses.replace(
     DEFAULT.mapping, max_keyframes=128, submap_corner_cap=8192,
-    submap_surf_cap=16384, scan_corner_cap=1024, scan_surf_cap=4096)
+    submap_surf_cap=16384, scan_corner_cap=1024, scan_surf_cap=4096,
+    # Per-step merges: the incremental==rebuild exactness tests below compare
+    # the cache directly against a fresh extract_submap, which requires the
+    # cache to be fully caught up after one update call.  The default
+    # batched-fold path (submap_merge_batch=4) is covered by
+    # test_batched_fold_matches_rebuild.
+    submap_merge_batch=1)
 CFG = DEFAULT.replace(mapping=SMALL_MAP)
 
 
@@ -242,3 +248,37 @@ def test_recent_submap_cache_always_rebuilds():
     np.testing.assert_array_equal(np.asarray(cache.c_valid), np.asarray(ecv))
     np.testing.assert_allclose(np.asarray(cache.c_pts)[np.asarray(ecv)],
                                np.asarray(ec)[np.asarray(ecv)], atol=1e-6)
+
+
+def test_batched_fold_matches_rebuild():
+    """submap_merge_batch=4: pending keyframes accumulate without touching
+    the cache (zero sort work on those steps), then ONE fold catches up and
+    the result equals a from-scratch rebuild voxel-for-voxel."""
+    cfg = dataclasses.replace(SMALL_MAP, submap_merge_batch=4)
+    kf_full = _toy_store(cfg, 13, spacing=2.0)
+    center = kf_full.t[0]
+
+    def at_count(c):
+        return kf_full._replace(count=jnp.int32(c))
+
+    cache = mapping.init_state(cfg).cache
+    cache = mapping.update_submap_cache(cache, at_count(9), center, cfg)
+    assert int(cache.merged) == 9          # stale init -> full rebuild
+    for c in (10, 11, 12):
+        before = np.asarray(cache.c_pts)
+        cache = mapping.update_submap_cache(cache, at_count(c), center, cfg)
+        assert int(cache.merged) == 9      # pending < batch: untouched
+        np.testing.assert_array_equal(np.asarray(cache.c_pts), before)
+    cache = mapping.update_submap_cache(cache, at_count(13), center, cfg)
+    assert int(cache.merged) == 13         # pending == batch: one fold
+
+    (ec, ecv, ecc), (es, esv, esc) = mapping.extract_submap(
+        at_count(13), center, cfg, return_counts=True)
+    np.testing.assert_array_equal(np.asarray(cache.c_valid), np.asarray(ecv))
+    np.testing.assert_allclose(np.asarray(cache.c_pts)[np.asarray(ecv)],
+                               np.asarray(ec)[np.asarray(ecv)], atol=2e-4)
+    np.testing.assert_array_equal(np.asarray(cache.s_valid), np.asarray(esv))
+    np.testing.assert_allclose(np.asarray(cache.s_pts)[np.asarray(esv)],
+                               np.asarray(es)[np.asarray(esv)], atol=2e-4)
+    np.testing.assert_allclose(np.asarray(cache.c_cnt), np.asarray(ecc),
+                               atol=1e-5)

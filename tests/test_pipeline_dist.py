@@ -18,7 +18,11 @@ from legoloam_tpu.utils import metrics, synthetic
 
 SMALL_MAP = dataclasses.replace(
     DEFAULT.mapping, max_keyframes=128, submap_corner_cap=8192,
-    submap_surf_cap=16384, scan_corner_cap=1024, scan_surf_cap=4096)
+    submap_surf_cap=16384, scan_corner_cap=1024, scan_surf_cap=4096,
+    # The distributed mapping step rebuilds its sharded submap every step;
+    # mesh==single parity therefore compares against per-step single-device
+    # merges (batch=1), not the batched-fold default whose cache may lag.
+    submap_merge_batch=1)
 CFG = DEFAULT.replace(mapping=SMALL_MAP)
 
 

@@ -24,14 +24,27 @@ import numpy as np
 SETTINGS = [(2, 4, 128, 512), (4, 8, 512, 1024), (6, 12, 768, 1536)]
 
 
-def run_one(cfg, scene, poses, n):
+def run_one(cfg, scene, poses, n, noise=0.0):
     from legoloam_tpu.models import pipeline
     from legoloam_tpu.ops.se3 import Pose
     from legoloam_tpu.utils import metrics, synthetic
 
-    ray = jax.jit(lambda pk_R, pk_t, nx_R, nx_t: synthetic.raycast_scan(
-        scene, Pose(pk_R, pk_t), cfg.sensor,
-        next_pose=Pose(nx_R, nx_t), motion=True))
+    if noise > 0:
+        rayn = jax.jit(lambda pk_R, pk_t, nx_R, nx_t, key:
+                       synthetic.raycast_scan(
+                           scene, Pose(pk_R, pk_t), cfg.sensor,
+                           next_pose=Pose(nx_R, nx_t), motion=True,
+                           noise_key=key, noise_sigma=float(noise)))
+        keys = jax.random.split(jax.random.PRNGKey(3), poses.t.shape[0])
+
+        def ray(pk_R, pk_t, nx_R, nx_t, _i=[0]):
+            k = _i[0] % keys.shape[0]
+            _i[0] += 1
+            return rayn(pk_R, pk_t, nx_R, nx_t, keys[k])
+    else:
+        ray = jax.jit(lambda pk_R, pk_t, nx_R, nx_t: synthetic.raycast_scan(
+            scene, Pose(pk_R, pk_t), cfg.sensor,
+            next_pose=Pose(nx_R, nx_t), motion=True))
     # Pre-raycast a small cycle of scans so the timed loop is SLAM-only.
     n_pre = 24
     pre = [jax.tree.map(np.asarray, ray(poses.R[k], poses.t[k],
@@ -75,6 +88,9 @@ def run_one(cfg, scene, poses, n):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--scans", type=int, default=200)
+    ap.add_argument("--noise", type=float, default=0.0,
+                    help="range noise sigma (m): re-validate the pick-count "
+                         "choice under realistic sensor noise")
     ap.add_argument("--backend", default=None)
     args = ap.parse_args()
     if args.backend:
@@ -90,7 +106,7 @@ def main():
         cfg = dataclasses.replace(DEFAULT, feat=dataclasses.replace(
             DEFAULT.feat, edge_per_section=e, surf_per_section=s,
             max_sharp=cap_s, max_flat=cap_f))
-        sps, ate = run_one(cfg, scene, poses, args.scans)
+        sps, ate = run_one(cfg, scene, poses, args.scans, noise=args.noise)
         print(f"picks {e:2d}/{s:2d}: {sps:7.1f} scans/s   "
               f"ATE(fused,120) {ate:.4f} m", flush=True)
 

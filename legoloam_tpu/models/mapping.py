@@ -305,7 +305,13 @@ def update_submap_cache(cache: SubmapCache, kf: KeyframeStore,
             return (cache.c_pts, cache.c_valid, cache.c_cnt,
                     cache.s_pts, cache.s_valid, cache.s_cnt)
 
-        c, cv, cc, s, sv, sc = jax.lax.cond(fold_now, fold, skip)
+        if B == 1:
+            # Per-step merge: fold unconditionally (``take`` masks out the
+            # no-pending case) — the round-3 behavior, without the cond
+            # branch duplicating the merge in the compiled program.
+            c, cv, cc, s, sv, sc = fold()
+        else:
+            c, cv, cc, s, sv, sc = jax.lax.cond(fold_now, fold, skip)
         # Adapt the prune radius from voxel occupancy: when either channel
         # nears its cap, overflow would drop the HIGHEST Morton keys — a
         # spatially biased corner of the map.  Shrinking the radius instead
@@ -318,7 +324,8 @@ def update_submap_cache(cache: SubmapCache, kf: KeyframeStore,
                           jnp.minimum(cache.prune_r * 1.02,
                                       jnp.float32(max_prune)))
         new_r = jnp.maximum(new_r, jnp.float32(cfg.search_radius))
-        new_r = jnp.where(fold_now, new_r, cache.prune_r)
+        if B > 1:
+            new_r = jnp.where(fold_now, new_r, cache.prune_r)
         return SubmapCache(c_pts=c, c_cnt=cc, c_valid=cv,
                            s_pts=s, s_cnt=sc, s_valid=sv,
                            origin=cache.origin,

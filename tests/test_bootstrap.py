@@ -27,7 +27,12 @@ from legoloam_tpu.utils import synthetic
 
 SMALL_MAP = dataclasses.replace(
     DEFAULT.mapping, max_keyframes=128, submap_corner_cap=8192,
-    submap_surf_cap=16384, scan_corner_cap=1024, scan_surf_cap=4096)
+    submap_surf_cap=16384, scan_corner_cap=1024, scan_surf_cap=4096,
+    # batch=1 keeps the block-mode programs (already the
+    # suite's biggest compiles) free of the fold/skip cond
+    # branch; batched folds are covered by test_mapping +
+    # the TPU bench.
+    submap_merge_batch=1)
 CFG = DEFAULT.replace(mapping=SMALL_MAP)
 
 

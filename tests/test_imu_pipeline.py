@@ -5,6 +5,7 @@ import dataclasses
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from legoloam_tpu.config import DEFAULT
 from legoloam_tpu.models import pipeline
@@ -14,7 +15,12 @@ from legoloam_tpu.utils import metrics, synthetic
 
 CFG = DEFAULT.replace(mapping=dataclasses.replace(
     DEFAULT.mapping, max_keyframes=64, submap_corner_cap=4096,
-    submap_surf_cap=8192, scan_corner_cap=1024, scan_surf_cap=4096))
+    submap_surf_cap=8192, scan_corner_cap=1024, scan_surf_cap=4096,
+    # batch=1 keeps the block-mode programs (already the
+    # suite's biggest compiles) free of the fold/skip cond
+    # branch; batched folds are covered by test_mapping +
+    # the TPU bench.
+    submap_merge_batch=1))
 
 
 def test_make_imu_consistent_with_deskew_integration():
@@ -93,6 +99,7 @@ def test_imu_xi_seed_matches_motion():
                                atol=0.02)
 
 
+@pytest.mark.xdist_group("blockcompile")
 def test_slam_block_imu_matches_streaming():
     """slam_scan_block with stacked per-scan IMU integrals must match B
     streaming slam_scan_step calls with the same windows (the block fast path

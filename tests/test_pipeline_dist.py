@@ -183,6 +183,7 @@ def test_dist_slam_hdl32e():
     assert ate < 0.5, ate
 
 
+@pytest.mark.xdist_group("blockcompile")
 def test_dist_slam_imu_bootstrap_matches_single_device():
     """Mesh ≡ single WITH the full IMU path (de-skew, gyro seed,
     PluginIMURotation analogue, attitude blend) AND the scan-1 bootstrap
@@ -229,6 +230,7 @@ def test_dist_slam_imu_bootstrap_matches_single_device():
     np.testing.assert_allclose(dist, single, atol=0.05)
 
 
+@pytest.mark.slow
 def test_dist_block_matches_dist_streaming():
     """slam_scan_block_dist ≡ B streaming slam_scan_step_dist calls
     (bootstrap on the first block, mapping on each block's first scan) —

@@ -5,6 +5,7 @@ import dataclasses
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from legoloam_tpu.config import DEFAULT
 from legoloam_tpu.models import pipeline
@@ -13,10 +14,16 @@ from legoloam_tpu.utils import synthetic
 
 SMALL_MAP = dataclasses.replace(
     DEFAULT.mapping, max_keyframes=128, submap_corner_cap=8192,
-    submap_surf_cap=16384, scan_corner_cap=1024, scan_surf_cap=4096)
+    submap_surf_cap=16384, scan_corner_cap=1024, scan_surf_cap=4096,
+    # batch=1 keeps the block-mode programs (already the
+    # suite's biggest compiles) free of the fold/skip cond
+    # branch; batched folds are covered by test_mapping +
+    # the TPU bench.
+    submap_merge_batch=1)
 CFG = DEFAULT.replace(mapping=SMALL_MAP)
 
 
+@pytest.mark.xdist_group("blockcompile")
 def test_slam_block_matches_streaming():
     scene = synthetic.default_scene()
     B = CFG.mapping_every

@@ -112,13 +112,16 @@ class FeatureConfig:
     sections: int = 6                  # sectionsTotal
     # Picks per ring-section.  The reference hard-codes 2 sharp / 4 flat
     # (featureAssociation.cpp:709,747) — a CPU-budget choice, not a modeling
-    # one.  Batched solves make extra residual rows nearly free on TPU, and
-    # 3x the picks measurably steadies the two-step LM on motion-distorted
-    # scans (per-scan twist error 0.047 -> 0.037 m mean); set 2/4 to
-    # reproduce the reference counts.
-    edge_per_section: int = 6          # sharp corner picks  (reference: 2)
+    # one.  Batched solves make extra residual rows nearly free on TPU; 2x
+    # the picks measurably steadies the two-step LM on motion-distorted
+    # scans, while the round-3 3x default (6/12) bought nothing further
+    # once re-validated under realistic sensor noise (sigma=0.02 fused ATE:
+    # 2/4 0.031, 4/8 0.025, 6/12 0.028 — tools/sweep_picks.py --noise) and
+    # cost ~3.5% headline throughput.  Set 2/4 to reproduce the reference
+    # counts.
+    edge_per_section: int = 4          # sharp corner picks  (reference: 2)
     edge_less_per_section: int = 20    # less-sharp picks    (featureAssociation.cpp:711)
-    surf_per_section: int = 12         # flat planar picks   (reference: 4)
+    surf_per_section: int = 8          # flat planar picks   (reference: 4)
     edge_threshold: float = 0.1
     surf_threshold: float = 0.1
     curvature_halfwin: int = 5         # +-5 neighbors (featureAssociation.cpp:627)
@@ -127,9 +130,9 @@ class FeatureConfig:
     parallel_beam_frac: float = 0.02   # featureAssociation.cpp:671
     less_flat_leaf: float = 0.2        # VoxelGrid leaf (featureAssociation.cpp:225)
     # Fixed capacities for the dense feature arrays (per scan).
-    max_sharp: int = 768               # >= sections*edge_per_section*n_scan caps
+    max_sharp: int = 512               # >= sections*edge_per_section*n_scan caps
     max_less_sharp: int = 2048
-    max_flat: int = 1536
+    max_flat: int = 1024
     max_less_flat: int = 8192
     max_outlier: int = 2048            # thinned invalid-cluster points
     # Pick-loop implementation: "auto" = VMEM-resident Pallas kernel on TPU,

@@ -47,8 +47,8 @@ def _pad_w(h: int) -> int:
     return ((h + _LANE - 1) // _LANE) * _LANE
 
 
-def _ccl_kernel(lab_ref, rmin_ref, rmax_ref, cfwd_ref, cbwd_ref, cdown_ref,
-                cup_ref, seam_ref, lab_out, rmin_out, rmax_out, *,
+def _ccl_kernel(lab_ref, rmax_ref, cfwd_ref, cbwd_ref, cdown_ref,
+                cup_ref, seam_ref, lab_out, rmax_out, *,
                 sweeps: int, h: int, big: int):
     n, w = lab_ref.shape
     bigv = jnp.int32(big)
@@ -56,12 +56,15 @@ def _ccl_kernel(lab_ref, rmin_ref, rmax_ref, cfwd_ref, cbwd_ref, cdown_ref,
     col = jax.lax.broadcasted_iota(jnp.int32, (n, w), dimension=1)
     seam_cols = (col == 0) | (col == h - 1)
 
-    # Three planes propagate in lockstep: (value, combine, neutral).
+    # TWO planes propagate in lockstep (label min-combine, ring-max
+    # max-combine).  The ring MIN needs no plane at all: labels are root
+    # flat indices, the root is the component's minimum flat index, and
+    # row-major order puts that in the component's minimum ring — so
+    # rmin == label // h, derived for free after convergence.
     def combine_all(planes, shifted, conn):
         lab = jnp.minimum(planes[0], jnp.where(conn, shifted[0], bigv))
-        rmn = jnp.minimum(planes[1], jnp.where(conn, shifted[1], bigv))
-        rmx = jnp.maximum(planes[2], jnp.where(conn, shifted[2], negv))
-        return (lab, rmn, rmx)
+        rmx = jnp.maximum(planes[1], jnp.where(conn, shifted[1], negv))
+        return (lab, rmx)
 
     def scan(planes, c_init, axis, size, fwd):
         c = c_init
@@ -75,7 +78,7 @@ def _ccl_kernel(lab_ref, rmin_ref, rmax_ref, cfwd_ref, cbwd_ref, cdown_ref,
             d *= 2
         return planes
 
-    planes = (lab_ref[:], rmin_ref[:], rmax_ref[:])
+    planes = (lab_ref[:], rmax_ref[:])
     cfwd = cfwd_ref[:]
     cbwd = cbwd_ref[:]
     cdown = cdown_ref[:]
@@ -88,14 +91,12 @@ def _ccl_kernel(lab_ref, rmin_ref, rmax_ref, cfwd_ref, cbwd_ref, cdown_ref,
         # Seam merge: rows whose wrap edge is connected share the combined
         # value of their two seam cells; the second fwd+bwd pass spreads it
         # through both border runs (= circular-run semantics).
-        lab, rmn, rmx = planes
+        lab, rmx = planes
         sl = jnp.min(jnp.where(seam_cols, lab, bigv), axis=1, keepdims=True)
-        sn = jnp.min(jnp.where(seam_cols, rmn, bigv), axis=1, keepdims=True)
         sx = jnp.max(jnp.where(seam_cols, rmx, negv), axis=1, keepdims=True)
         on = seam & seam_cols
         planes = (
             jnp.where(on, jnp.minimum(lab, sl), lab),
-            jnp.where(on, jnp.minimum(rmn, sn), rmn),
             jnp.where(on, jnp.maximum(rmx, sx), rmx),
         )
         planes = scan(planes, cfwd, 1, w, True)
@@ -122,8 +123,7 @@ def _ccl_kernel(lab_ref, rmin_ref, rmax_ref, cfwd_ref, cbwd_ref, cdown_ref,
         cond, body, (one_sweep(planes), jnp.int32(1), jnp.bool_(True)))
 
     lab_out[:] = planes[0]
-    rmin_out[:] = planes[1]
-    rmax_out[:] = planes[2]
+    rmax_out[:] = planes[1]
 
 
 @functools.partial(jax.jit, static_argnames=("sweeps", "interpret"))
@@ -147,7 +147,6 @@ def label_propagation_pallas(seed_mask: jax.Array, conn_h: jax.Array,
         jnp.int32(big),
     )
     ring = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[:, None], (n, h))
-    rmin0 = jnp.where(seed_mask, ring, big)
     rmax0 = jnp.where(seed_mask, ring, -1)
 
     conn_h = conn_h & seed_mask & jnp.roll(seed_mask, -1, axis=1)
@@ -167,13 +166,13 @@ def label_propagation_pallas(seed_mask: jax.Array, conn_h: jax.Array,
                        constant_values=fill)
 
     shp = jax.ShapeDtypeStruct((n, w), jnp.int32)
-    lab, rmn, rmx = pl.pallas_call(
+    lab, rmx = pl.pallas_call(
         functools.partial(_ccl_kernel, sweeps=sweeps, h=h, big=big),
-        out_shape=(shp, shp, shp),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 8,
-        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),) * 3,
+        out_shape=(shp, shp),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 7,
+        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),) * 2,
         interpret=interpret,
-    )(pad(labels, big), pad(rmin0, big), pad(rmax0, -1), pad(cfwd, 0),
+    )(pad(labels, big), pad(rmax0, -1), pad(cfwd, 0),
       pad(cbwd, 0), pad(cdown, 0), pad(cup, 0), pad(seam, 0))
 
     labels = lab[:, :h]
@@ -183,9 +182,12 @@ def label_propagation_pallas(seed_mask: jax.Array, conn_h: jax.Array,
     flat = flat[flat[:n_cells]]
     flat = jnp.concatenate([flat, jnp.array([big])])[flat]
     labels = flat[:n_cells]
-    # Ring extrema read from the component root (labels ARE root flat ids).
-    rmn_flat = jnp.concatenate([rmn[:, :h].reshape(-1), jnp.array([big])])
+    # Ring MIN is structural: labels are root flat ids and the root (the
+    # component's minimum flat index, row-major) sits in the minimum ring,
+    # so rmin == label // h; non-seeds (label == n*h) land on the sentinel
+    # value n, matching the XLA fallback's neutral.  Ring MAX reads from
+    # the component root's propagated plane.
+    ring_min = (labels // h).reshape(n, h)
     rmx_flat = jnp.concatenate([rmx[:, :h].reshape(-1), jnp.array([-1])])
-    ring_min = rmn_flat[labels].reshape(n, h)
     ring_max = rmx_flat[labels].reshape(n, h)
     return labels.reshape(n, h), ring_min, ring_max

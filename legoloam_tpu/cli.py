@@ -123,9 +123,6 @@ def main(argv=None):
     mesh = None
     if args.relocalize and not args.resume:
         ap.error("--relocalize requires --resume (a restored keyframe map)")
-    if args.relocalize and args.mesh:
-        ap.error("--relocalize is single-device for now: relocalize on one "
-                 "device, checkpoint, then resume under --mesh")
     if args.mesh:
         from .parallel import mesh as mesh_mod, pipeline_dist
         n_dev = len(jax.devices())
@@ -203,9 +200,22 @@ def main(argv=None):
                     run_loop=sched.due(t),
                     imu_integral=integ,
                     bootstrap=(k == 1 and not args.resume))
-        if k == 0 and args.relocalize and args.resume and mesh is None:
+        if k == 0 and args.relocalize and args.resume:
             from .models import relocalize as reloc_mod
-            state, rdiag = reloc_mod.relocalize_slam_state(state, cfg)
+            if mesh is None:
+                state, rdiag = reloc_mod.relocalize_slam_state(state, cfg)
+            else:
+                # Mesh path: relocalize against the canonical single-device
+                # snapshot (one full-store gather at boot), then write the
+                # REPLICATED correction back — t_bef/t_aft and the
+                # initialized flag are replicated in DistMapState, and the
+                # distributed submap is rebuilt per step anyway.
+                single, rdiag = reloc_mod.relocalize_slam_state(
+                    snapshot(state), cfg)
+                state = state._replace(mapping=state.mapping._replace(
+                    t_bef=single.mapping.t_bef,
+                    t_aft=single.mapping.t_aft,
+                    initialized=single.mapping.initialized))
             print(f"[reloc] accepted={bool(rdiag.accepted)} "
                   f"candidate={int(rdiag.candidate)} "
                   f"fitness={float(rdiag.fitness):.4f}")

@@ -56,15 +56,15 @@ class SubmapCache(NamedTuple):
 
     The reference re-voxelizes ~50 keyframe clouds (0.4M points) every
     mapping step (mapOptmization.cpp:1005-1064, softened by its transformed-
-    cloud cache).  Here the deduped voxel set itself is the cache: each step
-    folds in at most ONE new keyframe (weighted-centroid merge over
-    cache + 8K points — associative, so bit-for-bit the same centroids a full
-    rebuild would give), prunes outside
-    ``search_radius + submap_rebuild_dist`` of the rebuild origin, and the
-    expensive full rebuild runs only when the pose strays
-    ``submap_rebuild_dist`` from the origin or a loop correction moves the
-    keyframes.  Arrays stay Morton-sorted around ``origin`` (what the culled
-    kNN kernel feeds on)."""
+    cloud cache).  Here the deduped voxel set itself is the cache: pending
+    keyframes accumulate and FOLD in one weighted-centroid merge every
+    ``submap_merge_batch`` insertions (associative, so bit-for-bit the same
+    centroids a full rebuild would give — and 3 of 4 mapping steps touch no
+    sort at all), pruned outside ``search_radius + submap_rebuild_dist`` of
+    the rebuild origin; the expensive full rebuild runs only when the pose
+    strays ``submap_rebuild_dist`` from the origin, a loop correction moves
+    the keyframes, or the cache falls more than a batch behind.  Arrays stay
+    Morton-sorted around ``origin`` (what the culled kNN kernel feeds on)."""
     c_pts: jax.Array     # (Cc, 3) corner voxel centroids, world frame
     c_cnt: jax.Array     # (Cc,)  accumulated point counts (merge weights)
     c_valid: jax.Array

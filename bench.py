@@ -62,6 +62,11 @@ def main():
     ap.add_argument("--cycle", action="store_true",
                     help="legacy microbench: cycle 12 pre-staged scans "
                          "(constant-size map; ~20%% flattering vs --grow)")
+    ap.add_argument("--set-map", action="append", default=[], metavar="K=V",
+                    help="override a MappingConfig field for perf experiments "
+                         "(same syntax as tools/eval_long.py)")
+    ap.add_argument("--set-odo", action="append", default=[], metavar="K=V",
+                    help="override an OdometryConfig field")
     args = ap.parse_args()
     args.mapping = not args.odometry
     if args.grow is None:
@@ -82,6 +87,24 @@ def main():
     from legoloam_tpu.utils import synthetic
 
     cfg = DEFAULT
+    if args.set_map or args.set_odo:
+        import dataclasses
+
+        def _apply(sub, kvs):
+            for kv in kvs:
+                key, val = kv.split("=", 1)
+                cur = getattr(sub, key)
+                if isinstance(cur, bool):
+                    cast = val == "True"
+                elif isinstance(cur, str):
+                    cast = val
+                else:
+                    cast = type(cur)(float(val))
+                sub = dataclasses.replace(sub, **{key: cast})
+            return sub
+
+        cfg = cfg.replace(mapping=_apply(cfg.mapping, args.set_map),
+                          odom=_apply(cfg.odom, args.set_odo))
 
     if args.grow:
         import sys

@@ -274,8 +274,12 @@ class MappingConfig:
     # the per-step ~57K-row sort was the dominant mapping-step cost on the
     # chip.  Between folds the submap lags at most batch-1 keyframes (the
     # most recent = most redundant with the current scan); 1 restores the
-    # per-step merge.
-    submap_merge_batch: int = 4
+    # per-step merge.  Measured (chip, grow-512): 1 -> 127, 4 -> 147, 8 ->
+    # 158, 16 -> 160 scans/s; accuracy at 8 is ledger-equal (circuit fused
+    # 0.498 m / 0.178% end drift vs 0.512 / 0.177% at 4; ring fused
+    # 0.043 vs 0.039 m) while 16 saturates the gain with 2x the lag — 8 is
+    # the knee.
+    submap_merge_batch: int = 8
     # Submap keyframe selection:
     #   "radius" (default) — the reference's loopClosureEnableFlag=false path
     #     (mapOptmization.cpp:1001-1056): position-deduped radius search, with
@@ -497,5 +501,5 @@ REFERENCE = PipelineConfig(
         MappingConfig(), corr_refresh_every=1, min_lm_keyframes=0,
         max_step_trans=0.0, max_step_rot_deg=0.0,
         prior_trans_std=0.0, prior_rot_std_deg=0.0,
-        ground_anchor=0.0),
+        ground_anchor=0.0, submap_merge_batch=1),
 )

@@ -62,6 +62,20 @@ def main():
     ap.add_argument("--cycle", action="store_true",
                     help="legacy microbench: cycle 12 pre-staged scans "
                          "(constant-size map; ~20%% flattering vs --grow)")
+    ap.add_argument("--world", default="ring", choices=["ring", "circuit"],
+                    help="grow-mode world: 'ring' (the 188 m headline lap) "
+                         "or 'circuit' (rounded-square lane, --half sets "
+                         "size — the multi-lap endurance course)")
+    ap.add_argument("--half", type=float, default=100.0,
+                    help="circuit half-size in m (766 m lap at 100)")
+    ap.add_argument("--noise", type=float, default=0.0,
+                    help="per-scan range noise sigma in m (grow mode)")
+    ap.add_argument("--chunk", type=int, default=2048,
+                    help="grow-mode staging chunk (scans staged on device "
+                         "at a time; bounds HBM for 20K-scan runs)")
+    ap.add_argument("--sensor", default=None,
+                    choices=["vlp16", "hdl32e", "vls128", "os1_16", "os1_64"],
+                    help="sensor geometry (default vlp16)")
     ap.add_argument("--set-map", action="append", default=[], metavar="K=V",
                     help="override a MappingConfig field for perf experiments "
                          "(same syntax as tools/eval_long.py)")
@@ -87,26 +101,16 @@ def main():
     from legoloam_tpu.utils import synthetic
 
     cfg = DEFAULT
+    if args.sensor:
+        from legoloam_tpu.config import for_sensor
+        cfg = for_sensor(args.sensor)
     if args.set_map or args.set_odo:
-        import dataclasses
-
-        def _apply(sub, kvs):
-            for kv in kvs:
-                key, val = kv.split("=", 1)
-                cur = getattr(sub, key)
-                if isinstance(cur, bool):
-                    cast = val == "True"
-                elif isinstance(cur, str):
-                    cast = val
-                else:
-                    cast = type(cur)(float(val))
-                sub = dataclasses.replace(sub, **{key: cast})
-            return sub
-
-        cfg = cfg.replace(mapping=_apply(cfg.mapping, args.set_map),
-                          odom=_apply(cfg.odom, args.set_odo))
+        from legoloam_tpu.config import apply_overrides
+        cfg = cfg.replace(mapping=apply_overrides(cfg.mapping, args.set_map),
+                          odom=apply_overrides(cfg.odom, args.set_odo))
 
     if args.grow:
+        import dataclasses
         import sys
 
         import numpy as np
@@ -114,54 +118,118 @@ def main():
         def sync_now(st):
             np.asarray(jax.tree.leaves(st)[0]).ravel()[:1]
 
-        scene = synthetic.loop_scene()
         n = args.grow
-        poses = synthetic.circle_trajectory(n + 1, radius=30.0,
-                                            angular_rate=0.009)
-        ray = jax.jit(lambda a, b, c, d: synthetic.raycast_scan(
-            scene, Pose(a, b), cfg.sensor, next_pose=Pose(c, d), motion=True))
-        print(f"[grow] staging {n} distinct scans on device...",
-              file=sys.stderr)
-        scans = [ray(poses.R[k], poses.t[k], poses.R[k + 1], poses.t[k + 1])
-                 for k in range(n)]
-        jax.block_until_ready(scans)
-        sync_now(scans[-1])
+        if args.world == "circuit":
+            scene = synthetic.circuit_scene(args.half)
+            poses = synthetic.circuit_trajectory(n + 1, half=args.half)
+            world_tag = f"circuit h={args.half:g}"
+        else:
+            scene = synthetic.loop_scene()
+            poses = synthetic.circle_trajectory(n + 1, radius=30.0,
+                                                angular_rate=0.009)
+            world_tag = "ring world"
+        if args.loop:
+            cfg = cfg.replace(
+                loop=dataclasses.replace(cfg.loop, enabled=True))
+        sigma = float(args.noise)
+        if sigma > 0:
+            def ray_fn(a, b, c, d, key):
+                return synthetic.raycast_scan(
+                    scene, Pose(a, b), cfg.sensor, next_pose=Pose(c, d),
+                    motion=True, noise_key=key, noise_sigma=sigma)
+        else:
+            def ray_fn(a, b, c, d, key):
+                return synthetic.raycast_scan(
+                    scene, Pose(a, b), cfg.sensor, next_pose=Pose(c, d),
+                    motion=True)
+        ray = jax.jit(ray_fn)
+
+        def stage(c0, c1):
+            """Ray-cast scans [c0, c1) onto the device (outside the timed
+            windows — scan generation stands in for the sensor)."""
+            out = [ray(poses.R[k], poses.t[k], poses.R[k + 1], poses.t[k + 1],
+                       jax.random.PRNGKey(k)) for k in range(c0, c1)]
+            jax.block_until_ready(out)
+            sync_now(out[-1])
+            return out
+
+        chunk = max(256, min(n, args.chunk))
+        from legoloam_tpu.utils import memory as mem_mod
+        print(mem_mod.summary(cfg), file=sys.stderr)
+        print(f"[grow] {world_tag}: {n} distinct scans, staged in chunks "
+              f"of {chunk}...", file=sys.stderr)
+        scans = stage(0, min(chunk, n))
 
         state = pipeline.init_slam_state(cfg)
-        # Warmup both step variants on a throwaway state.
+        # Warmup every step variant on a throwaway state.
         for k in range(4):
             state, _ = pipeline.slam_scan_step(
                 state, *scans[k], cfg, 0.1 * k,
-                run_mapping=(k % cfg.mapping_every == 0))
+                run_mapping=(k % cfg.mapping_every == 0),
+                run_loop=args.loop and k == 3)
         sync_now(state)
         state = pipeline.init_slam_state(cfg)
 
         window = 128
-        t_all0 = time.perf_counter()
-        t0 = time.perf_counter()
+        stage_time = 0.0
+        fused_t = []
+        t_run0 = time.perf_counter()
+        t0 = t_run0
         for k in range(n):
+            j = k % chunk
+            if j == 0 and k > 0:
+                ts0 = time.perf_counter()
+                scans = stage(k, min(k + chunk, n))
+                stage_time += time.perf_counter() - ts0
+                t0 = time.perf_counter()
             state, out = pipeline.slam_scan_step(
-                state, *scans[k], cfg, 0.1 * k,
-                run_mapping=(k % cfg.mapping_every == 0))
+                state, *scans[j], cfg, 0.1 * k,
+                run_mapping=(k % cfg.mapping_every == 0),
+                run_loop=args.loop and k % 10 == 0 and k > 0)
+            fused_t.append(out.fused_pose.t)
             if (k + 1) % window == 0:
                 sync_now(state)
                 dt = time.perf_counter() - t0
                 kf = int(state.mapping.kf.count)
                 mem = jax.local_devices()[0].memory_stats() or {}
                 peak = mem.get("peak_bytes_in_use", 0) / 2**30
+                extra = ""
+                if args.loop:
+                    extra = f"   loops={int(state.loops.count)}"
                 print(f"[grow] scans {k + 1 - window}-{k + 1}: "
                       f"{window / dt:7.1f} scans/s   kf={kf:4d}   "
-                      f"peak_hbm={peak:.2f} GiB", file=sys.stderr)
+                      f"peak_hbm={peak:.2f} GiB{extra}", file=sys.stderr)
+                # Keyframe-store saturation guard (margin covers the <=43
+                # keyframes a 128-scan window can add); overflow is counted,
+                # never silent.
+                state, did = pipeline.maybe_decimate(state, cfg, margin=64)
+                if did:
+                    print(f"[grow] decimated keyframe store -> "
+                          f"{int(state.mapping.kf.count)} kf", file=sys.stderr)
+                if int(state.mapping.kf.overflow):
+                    print(f"[grow] WARNING: kf overflow="
+                          f"{int(state.mapping.kf.overflow)}", file=sys.stderr)
                 t0 = time.perf_counter()
         sync_now(state)
-        total_dt = time.perf_counter() - t_all0
+        total_proc = time.perf_counter() - t_run0 - stage_time
+        # Bounded-drift ledger: fused trajectory vs ground truth (the gt
+        # trajectory starts at poses[0]; estimates start at the origin).
+        est = np.asarray(jnp.stack(fused_t))
+        gt = np.asarray(poses.t[:n]) - np.asarray(poses.t[0])
+        err = np.linalg.norm(est - gt, axis=1)
+        dist = float(np.sum(np.linalg.norm(np.diff(gt, axis=0), axis=1)))
+        print(f"[grow] trajectory: {dist:.0f} m, abs err mean {err.mean():.3f}"
+              f" max {err.max():.3f} end {err[-1]:.3f} m "
+              f"({100.0 * err[-1] / max(dist, 1e-9):.3f}% of distance), "
+              f"kf={int(state.mapping.kf.count)} "
+              f"overflow={int(state.mapping.kf.overflow)}", file=sys.stderr)
         dev = jax.devices()[0].platform
         print(json.dumps({
-            "metric": f"slam_grow{n}_scans_per_sec (ring world, growing map, "
-                      f"{dev})",
-            "value": round(n / total_dt, 2),
+            "metric": f"slam_grow{n}_scans_per_sec ({world_tag}, growing "
+                      f"map, {dev})",
+            "value": round(n / total_proc, 2),
             "unit": "scans/sec",
-            "vs_baseline": round(n / total_dt / 10.0, 2),
+            "vs_baseline": round(n / total_proc / 10.0, 2),
         }))
         return
 

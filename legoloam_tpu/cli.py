@@ -53,6 +53,14 @@ def main(argv=None):
                          "0.2 Hz, mapOptmization.cpp:758-800); 0 = only at "
                          "the end")
     ap.add_argument("--backend", default=None, help="cpu to force CPU")
+    ap.add_argument("--debug-dump", default=None, metavar="DIR",
+                    help="write per-scan debug npz records (range image, "
+                         "ground mask, cluster labels, pick sets, submap "
+                         "occupancy, diag counters) every --debug-every "
+                         "scans — the reference's subscriber-gated RViz "
+                         "debug publishers (imageProjection.cpp:463-507), "
+                         "offline; view with tools/view_debug.py")
+    ap.add_argument("--debug-every", type=int, default=50)
     ap.add_argument("--mesh", type=int, default=0, metavar="N",
                     help="run the DISTRIBUTED pipeline over an N-device mesh "
                          "(keyframe clouds sharded, submap all_gather, psum'd "
@@ -176,6 +184,9 @@ def main(argv=None):
         from .ops import deskew
         imu_seq = lio.ImuSequence.from_file(args.imu)
 
+    from .utils.debugdump import DebugDumper
+    dumper = DebugDumper(args.debug_dump, every=args.debug_every)
+
     sched = pipeline.LoopScheduler(cfg)
     fused_R, fused_t, times = [], [], []
     for k, scan in enumerate(scan_iter()):
@@ -223,6 +234,9 @@ def main(argv=None):
         fused_R.append(out.fused_pose.R)
         fused_t.append(out.fused_pose.t)
         times.append(t)
+        if dumper.due(k):
+            with timer.stage("debug_dump"):
+                dumper.maybe_dump(k, scan, cfg, state=state, diag=out.diag)
         if args.checkpoint_every and (k + 1) % args.checkpoint_every == 0:
             with timer.stage("checkpoint"):
                 checkpoint.save_state(
@@ -238,6 +252,34 @@ def main(argv=None):
         if (k + 1) % 100 == 0:
             print(f"[legoloam_tpu] {k + 1} scans, "
                   f"{int(state.mapping.kf.count)} keyframes", file=sys.stderr)
+            # No-silent-caps: warn the moment any fixed cap drops data, and
+            # decimate the keyframe store before it saturates (the reference
+            # grows RAM unboundedly instead, mapOptmization.cpp:84-86).
+            fo = np.asarray(out.diag.feat_overflow)
+            if fo.any():
+                print(f"warning: feature caps overflowed this scan "
+                      f"[sharp,less_sharp,flat,less_flat,outlier]={fo.tolist()}"
+                      f" — raise FeatureConfig caps", file=sys.stderr)
+            if int(state.loops.dropped):
+                print(f"warning: {int(state.loops.dropped)} loop factors "
+                      f"dropped (cap/decimation) — raise "
+                      f"PoseGraphConfig.max_loop_factors", file=sys.stderr)
+            if int(state.mapping.kf.overflow):
+                print(f"warning: keyframe store overflowed "
+                      f"{int(state.mapping.kf.overflow)} times — raise "
+                      f"max_keyframes or decimate more aggressively",
+                      file=sys.stderr)
+            if mesh is None:
+                if int(getattr(state.mapping.cache, "voxel_overflow", 0)):
+                    print(f"warning: submap voxel caps dropped "
+                          f"{int(state.mapping.cache.voxel_overflow)} voxels "
+                          f"— raise submap_*_cap", file=sys.stderr)
+                state, did = pipeline.maybe_decimate(state, cfg, margin=48)
+                if did:
+                    print(f"[legoloam_tpu] keyframe store decimated to "
+                          f"{int(state.mapping.kf.count)} "
+                          f"(cap {cfg.mapping.max_keyframes})",
+                          file=sys.stderr)
 
     # --- outputs ---
     state = snapshot(state)

@@ -257,6 +257,14 @@ class MappingConfig:
     # Dense capacities.  Keyframes store the downsampled current scan, so the
     # per-keyframe cloud caps ARE the scan caps.
     max_keyframes: int = 4096
+    # When the store comes within the driver's margin of max_keyframes,
+    # hosts decimate it (mapping.decimate_keyframes via pipeline.
+    # maybe_decimate): keep keyframe 0 + the most recent this-many + every
+    # 2nd older one.  Old trajectory coarsens 0.3 -> 0.6 m per decimation —
+    # bounded memory where the reference grows RAM without bound
+    # (mapOptmization.cpp:84-86); overflow (a keyframe warranted while
+    # full) is counted in KeyframeStore.overflow, never silent.
+    decimate_keep_recent: int = 512
     # Submap caps: sized to hold a (search_radius + submap_rebuild_dist)-radius
     # voxel cache at the 0.2/0.4 m leaf sizes (measured: a 50 m courtyard
     # submap occupies ~15-20K surf voxels).  Since the scan-to-map kNN culls
@@ -472,6 +480,62 @@ class PipelineConfig:
 
     def replace(self, **kw) -> "PipelineConfig":
         return dataclasses.replace(self, **kw)
+
+
+def for_sensor(name: str) -> "PipelineConfig":
+    """DEFAULT scaled to a sensor geometry.
+
+    The VLP-16 cap defaults undersize denser sensors: sectioned picks scale
+    with the ring count (sections x picks x n_scan — e.g. VLS-128's
+    6x4x128 = 3072 sharp candidates vs the 512 cap) and the per-scan
+    downsampled clouds grow with point density.  Feature caps scale by the
+    ring ratio (rounded up to 256 for kernel tiling); mapping scan caps
+    scale too but stay within the Pallas kNN's 16-bit index budget.  The
+    overflow counters (ScanFeatures.overflow, no-silent-caps) verify the
+    scaled caps never truncate."""
+    sensor = SENSORS[name]
+    s = sensor.n_scan / 16.0
+    if s <= 1.0:
+        return DEFAULT.replace(sensor=sensor)
+
+    def r(v, cap=1 << 16):
+        return min(int(math.ceil(v * s / 256.0) * 256), cap)
+
+    feat = dataclasses.replace(
+        DEFAULT.feat, max_sharp=r(512), max_less_sharp=r(2048),
+        max_flat=r(1024), max_less_flat=r(8192), max_outlier=r(2048))
+    mapping = dataclasses.replace(
+        DEFAULT.mapping,
+        scan_corner_cap=r(2048, cap=8192),
+        scan_surf_cap=r(8192, cap=32768))
+    return DEFAULT.replace(sensor=sensor, feat=feat, mapping=mapping)
+
+
+def apply_overrides(sub, kvs):
+    """Apply ``["key=value", ...]`` CLI overrides to a frozen config
+    dataclass, casting each value to the field's current type.  Shared by
+    ``bench.py --set-map/--set-odo``, ``tools/eval_long.py`` and
+    ``tools/diag_map.py --set``.  Booleans accept true/false/1/0 (any case);
+    anything else raises instead of silently becoming False."""
+    for kv in kvs:
+        key, val = kv.split("=", 1)
+        cur = getattr(sub, key)          # unknown keys raise AttributeError
+        if isinstance(cur, bool):
+            low = val.lower()
+            if low in ("true", "1"):
+                cast = True
+            elif low in ("false", "0"):
+                cast = False
+            else:
+                raise ValueError(
+                    f"{key}: boolean override must be true/false/1/0, "
+                    f"got {val!r}")
+        elif isinstance(cur, str):
+            cast = val
+        else:
+            cast = type(cur)(float(val))
+        sub = dataclasses.replace(sub, **{key: cast})
+    return sub
 
 
 DEFAULT = PipelineConfig()

@@ -127,7 +127,12 @@ def close_and_correct(
         max_corr_dist=cfg.icp_max_corr_dist, max_iters=cfg.icp_max_iters,
         eps=cfg.icp_eps, backend=cfg.icp_backend)
 
-    accept = has_cand & res.converged & (res.fitness < cfg.fitness_thresh)
+    # PCL-compatible acceptance (mapOptmization.cpp:904): hasConverged() is
+    # true on ANY termination including the iteration cap, so acceptance is
+    # effectively fitness-gated — a still-improving alignment that used all
+    # 100 iterations must be accepted, not rejected for missing the eps exit
+    # (tests/test_loopclosure.py::test_cap_terminated_icp_accepted).
+    accept = has_cand & res.has_converged & (res.fitness < cfg.fitness_thresh)
 
     # Corrected current pose; factor Z = T_cor⁻¹ ∘ T_old
     # (performLoopClosure poseFrom.between(poseTo), mapOptmization.cpp:919-939).

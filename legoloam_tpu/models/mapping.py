@@ -49,6 +49,13 @@ class KeyframeStore(NamedTuple):
     surf: jax.Array         # (M, Cs, 3) scan-frame surf(+outlier) clouds
     surf_valid: jax.Array
     count: jax.Array        # () int32
+    # Mapping steps where a keyframe was WARRANTED (moved >= keyframe_dist)
+    # but the store was full — no-silent-caps discipline.  The reference's
+    # store is unbounded (mapOptmization.cpp:84-86); here the cap is a
+    # compile-time shape, so drivers watch this counter and call
+    # ``decimate_keyframes`` (graceful sparsification) before it ever
+    # increments (pipeline.maybe_decimate).
+    overflow: jax.Array     # () int32
 
 
 class SubmapCache(NamedTuple):
@@ -78,6 +85,9 @@ class SubmapCache(NamedTuple):
                          # census approaches the cap so overflow drops FAR
                          # voxels (by radius) instead of a Morton-biased
                          # corner of the map, recovers when occupancy falls
+    voxel_overflow: jax.Array  # () int32 cumulative occupied voxels dropped
+                               # beyond the corner/surf caps (should stay 0:
+                               # the adaptive prune radius backs off first)
 
 
 class MapState(NamedTuple):
@@ -97,6 +107,8 @@ class MappingDiag(NamedTuple):
     new_keyframe: jax.Array
     n_submap_corner: jax.Array
     n_submap_surf: jax.Array
+    kf_overflow: jax.Array      # () bool: keyframe warranted but store full
+    submap_overflow: jax.Array  # () int32: cumulative submap voxels dropped
 
 
 def init_state(cfg: MappingConfig) -> MapState:
@@ -112,6 +124,7 @@ def init_state(cfg: MappingConfig) -> MapState:
         surf=jnp.zeros((m, cfg.scan_surf_cap, 3)),
         surf_valid=jnp.zeros((m, cfg.scan_surf_cap), bool),
         count=jnp.int32(0),
+        overflow=jnp.int32(0),
     )
     cache = SubmapCache(
         c_pts=jnp.zeros((cfg.submap_corner_cap, 3)),
@@ -124,6 +137,7 @@ def init_state(cfg: MappingConfig) -> MapState:
         merged=jnp.int32(0),
         stale=jnp.array(True),
         prune_r=jnp.float32(cfg.search_radius + cfg.submap_rebuild_dist),
+        voxel_overflow=jnp.int32(0),
     )
     return MapState(kf=kf, cache=cache, t_bef=Pose.identity(),
                     t_aft=Pose.identity(), ground_ref=jnp.float32(0.0),
@@ -167,7 +181,8 @@ def dedup_positions(t: jax.Array, ok: jax.Array, center: jax.Array,
 
 
 def extract_submap(kf: KeyframeStore, center: jax.Array, cfg: MappingConfig,
-                   return_counts: bool = False):
+                   return_counts: bool = False,
+                   return_overflow: bool = False):
     """Gather the nearest position-deduped keyframes within the search
     radius, transform their clouds to world, and voxel-downsample into
     fixed-cap submap arrays.  Selection follows the reference's radius mode
@@ -209,10 +224,12 @@ def extract_submap(kf: KeyframeStore, center: jax.Array, cfg: MappingConfig,
     # reference chunks by AABB, which needs spatially sorted submaps.
     sub_c = voxel_downsample(cpts, cval, cfg.corner_leaf,
                              cfg.submap_corner_cap, origin=center,
-                             return_counts=return_counts)
+                             return_counts=return_counts,
+                             return_overflow=return_overflow)
     sub_s = voxel_downsample(spts, sval, cfg.surf_leaf,
                              cfg.submap_surf_cap, origin=center,
-                             return_counts=return_counts)
+                             return_counts=return_counts,
+                             return_overflow=return_overflow)
     return sub_c, sub_s
 
 
@@ -251,17 +268,22 @@ def update_submap_cache(cache: SubmapCache, kf: KeyframeStore,
     max_prune = cfg.search_radius + cfg.submap_rebuild_dist
 
     def rebuild():
-        (c, cv, cc), (s, sv, sc) = extract_submap(kf, center, cfg,
-                                                  return_counts=True)
+        (c, cv, cc, c_of), (s, sv, sc, s_of) = extract_submap(
+            kf, center, cfg, return_counts=True, return_overflow=True)
         return SubmapCache(c_pts=c, c_cnt=cc, c_valid=cv,
                            s_pts=s, s_cnt=sc, s_valid=sv,
                            origin=center, merged=kf.count,
                            stale=jnp.array(False),
-                           prune_r=jnp.float32(max_prune))
+                           prune_r=jnp.float32(max_prune),
+                           voxel_overflow=cache.voxel_overflow + c_of + s_of)
 
     def incremental():
+        # Young-map regime: while the map is small (< 2 batches of
+        # keyframes), a B-1-keyframe lag would be a large fraction of the
+        # whole submap — fold every pending keyframe immediately until the
+        # map is big enough that the lagged tail is redundant.
         fold_now = (pending >= B) \
-            | ((kf.count <= 8) & (pending >= 1))
+            | ((kf.count <= 2 * B) & (pending >= 1))
         n_fold = jnp.minimum(pending, B)
         idxs = jnp.minimum(cache.merged + jnp.arange(B), m - 1)
         take = (jnp.arange(B) < n_fold) & fold_now
@@ -290,28 +312,29 @@ def update_submap_cache(cache: SubmapCache, kf: KeyframeStore,
             ok = jnp.concatenate([cached_valid, new_ok], axis=0)
             ok = ok & (jnp.sum((pts - cache.origin) ** 2, axis=-1) < prune_r2)
             return voxel_downsample(pts, ok, leaf, cap, origin=cache.origin,
-                                    weights=w, return_counts=True)
+                                    weights=w, return_counts=True,
+                                    return_overflow=True)
 
         def fold():
-            c, cv, cc = merge(cache.c_pts, cache.c_cnt, cache.c_valid,
-                              kf.corner[idxs], kf.corner_valid[idxs],
-                              cfg.corner_leaf, cfg.submap_corner_cap)
-            s, sv, sc = merge(cache.s_pts, cache.s_cnt, cache.s_valid,
-                              kf.surf[idxs], kf.surf_valid[idxs],
-                              cfg.surf_leaf, cfg.submap_surf_cap)
-            return c, cv, cc, s, sv, sc
+            c, cv, cc, c_of = merge(cache.c_pts, cache.c_cnt, cache.c_valid,
+                                    kf.corner[idxs], kf.corner_valid[idxs],
+                                    cfg.corner_leaf, cfg.submap_corner_cap)
+            s, sv, sc, s_of = merge(cache.s_pts, cache.s_cnt, cache.s_valid,
+                                    kf.surf[idxs], kf.surf_valid[idxs],
+                                    cfg.surf_leaf, cfg.submap_surf_cap)
+            return c, cv, cc, s, sv, sc, c_of + s_of
 
         def skip():
             return (cache.c_pts, cache.c_valid, cache.c_cnt,
-                    cache.s_pts, cache.s_valid, cache.s_cnt)
+                    cache.s_pts, cache.s_valid, cache.s_cnt, jnp.int32(0))
 
         if B == 1:
             # Per-step merge: fold unconditionally (``take`` masks out the
             # no-pending case) — the round-3 behavior, without the cond
             # branch duplicating the merge in the compiled program.
-            c, cv, cc, s, sv, sc = fold()
+            c, cv, cc, s, sv, sc, n_of = fold()
         else:
-            c, cv, cc, s, sv, sc = jax.lax.cond(fold_now, fold, skip)
+            c, cv, cc, s, sv, sc, n_of = jax.lax.cond(fold_now, fold, skip)
         # Adapt the prune radius from voxel occupancy: when either channel
         # nears its cap, overflow would drop the HIGHEST Morton keys — a
         # spatially biased corner of the map.  Shrinking the radius instead
@@ -332,7 +355,8 @@ def update_submap_cache(cache: SubmapCache, kf: KeyframeStore,
                            merged=cache.merged
                            + jnp.where(fold_now, n_fold, 0).astype(jnp.int32),
                            stale=jnp.array(False),
-                           prune_r=new_r.astype(jnp.float32))
+                           prune_r=new_r.astype(jnp.float32),
+                           voxel_overflow=cache.voxel_overflow + n_of)
 
     return jax.lax.cond(needs_rebuild, rebuild, incremental)
 
@@ -682,7 +706,12 @@ def mapping_step(
     kf = state.kf
     last_idx = jnp.maximum(kf.count - 1, 0)
     moved = jnp.linalg.norm(T.t - kf.t[last_idx]) >= cfg.keyframe_dist
-    is_new = (~state.initialized) | (moved & (kf.count < kf.t.shape[0]))
+    has_room = kf.count < kf.t.shape[0]
+    is_new = (~state.initialized) | (moved & has_room)
+    # Saturation is counted, never silent: a warranted-but-dropped keyframe
+    # increments kf.overflow (and flags the diag) so drivers know to
+    # decimate (pipeline.maybe_decimate calls decimate_keyframes below).
+    overflow_now = state.initialized & moved & ~has_room
 
     # Between-factor measurement from the previous (optimized) keyframe pose,
     # captured NOW — later pose-graph corrections must not rewrite it.
@@ -703,6 +732,8 @@ def mapping_step(
         surf=write(kf.surf, s_pts),
         surf_valid=write(kf.surf_valid, s_ok),
         count=kf.count + jnp.where(is_new, 1, 0).astype(jnp.int32),
+        overflow=kf.overflow
+        + jnp.where(overflow_now, 1, 0).astype(jnp.int32),
     )
 
     new_state = MapState(
@@ -716,5 +747,103 @@ def mapping_step(
     )
     diag = MappingDiag(
         n_corner_res=n_c, n_surf_res=n_s, iters=iters, new_keyframe=is_new,
-        n_submap_corner=jnp.sum(sub_cv), n_submap_surf=jnp.sum(sub_sv))
+        n_submap_corner=jnp.sum(sub_cv), n_submap_surf=jnp.sum(sub_sv),
+        kf_overflow=overflow_now, submap_overflow=cache.voxel_overflow)
     return new_state, T, diag
+
+
+# ---------------------------------------------------------------------------
+# Keyframe decimation (graceful eviction at the fixed cap)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("keep_recent",))
+def decimate_keyframes(kf: KeyframeStore, loops, keep_recent: int = 512):
+    """Halve a (nearly) full keyframe store by trajectory sparsification.
+
+    The reference's store is unbounded (``cornerCloudKeyFrames`` etc.,
+    mapOptmization.cpp:84-86) — its 20K-scan validation runs simply grow RAM.
+    On TPU the store is a compile-time shape, so long runs must SPARSIFY
+    instead of growing: keep keyframe 0 (the pose-graph prior anchor) + the
+    most recent ``keep_recent`` keyframes + every 2nd of the older rest, and
+    compact survivors to the front (order preserved).  At the reference's
+    0.3 m keyframe spacing one decimation coarsens old trajectory to 0.6 m —
+    still ~80x denser than the 50 m submap search radius needs.
+
+    Graph bookkeeping (exact given the current estimates):
+      * chain between-factors are re-derived between now-adjacent survivors
+        from the CURRENT optimized poses — the dropped node's two chain
+        constraints compose into one (standard pose-graph sparsification);
+      * loop factors remap each endpoint to its nearest surviving
+        predecessor, with the measurement compensated by the estimate-
+        relative offset  Z' = (T_a_i⁻¹ T_i) · Z · (T_j⁻¹ T_a_j);  factors
+        whose endpoints collapse onto one node are invalidated and counted
+        in ``loops.dropped``.
+
+    Host drivers call this when ``count`` approaches the cap
+    (``pipeline.maybe_decimate``); the per-scan hot path never pays for it.
+    The submap cache must be marked stale afterward (indices moved).
+    Returns ``(kf, loops)``.
+    """
+    M = kf.t.shape[0]
+    idx = jnp.arange(M, dtype=jnp.int32)
+    count = kf.count
+    active = idx < count
+    keep = active & ((idx >= count - keep_recent) | (idx % 2 == 0))
+    n_keep = jnp.sum(keep).astype(jnp.int32)
+
+    # Survivors to the front, order preserved (stable sort: kept first).
+    src = jnp.argsort(~keep, stable=True).astype(jnp.int32)   # new slot -> old
+    new_active = idx < n_keep
+
+    def take(arr, inert):
+        g = arr[src]
+        shape = (M,) + (1,) * (arr.ndim - 1)
+        m = new_active.reshape(shape)
+        return jnp.where(m, g, inert)
+
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=kf.R.dtype), (M, 3, 3))
+    R_new = take(kf.R, eye)
+    t_new = take(kf.t, jnp.zeros_like(kf.t))
+
+    # Chain measurement for new slot s >= 1: relative pose between the now-
+    # adjacent survivors, from the current estimates.
+    prev = Pose(jnp.roll(R_new, 1, axis=0), jnp.roll(t_new, 1, axis=0))
+    meas = se3.relative(prev, Pose(R_new, t_new))
+    chain_R = jnp.where(new_active[:, None, None] & (idx > 0)[:, None, None],
+                        meas.R, eye)
+    chain_t = jnp.where(new_active[:, None] & (idx > 0)[:, None],
+                        meas.t, 0.0)
+
+    kf_out = KeyframeStore(
+        R=R_new, t=t_new,
+        time=take(kf.time, jnp.zeros_like(kf.time)),
+        chain_R=chain_R, chain_t=chain_t,
+        corner=take(kf.corner, jnp.zeros_like(kf.corner)),
+        corner_valid=take(kf.corner_valid, jnp.zeros_like(kf.corner_valid)),
+        surf=take(kf.surf, jnp.zeros_like(kf.surf)),
+        surf_valid=take(kf.surf_valid, jnp.zeros_like(kf.surf_valid)),
+        count=n_keep, overflow=kf.overflow)
+
+    # Loop-factor remap.  old2new[i] = new slot of i's nearest surviving
+    # predecessor (cumsum of keeps up to i, minus 1).
+    old2new = jnp.maximum(jnp.cumsum(keep.astype(jnp.int32)) - 1, 0)
+    ni = old2new[loops.i]
+    nj = old2new[loops.j]
+    ai = src[ni]                       # anchors' OLD indices
+    aj = src[nj]
+    Ti = Pose(kf.R[loops.i], kf.t[loops.i])
+    Tai = Pose(kf.R[ai], kf.t[ai])
+    Tj = Pose(kf.R[loops.j], kf.t[loops.j])
+    Taj = Pose(kf.R[aj], kf.t[aj])
+    Z = Pose(loops.R, loops.t)
+    Z_new = se3.compose(se3.relative(Tai, Ti),
+                        se3.compose(Z, se3.relative(Tj, Taj)))
+    collapsed = loops.valid & (ni == nj)
+    loops_out = loops._replace(
+        i=jnp.where(loops.valid, ni, loops.i),
+        j=jnp.where(loops.valid, nj, loops.j),
+        R=jnp.where(loops.valid[:, None, None], Z_new.R, loops.R),
+        t=jnp.where(loops.valid[:, None], Z_new.t, loops.t),
+        valid=loops.valid & ~collapsed,
+        dropped=loops.dropped + jnp.sum(collapsed).astype(jnp.int32))
+    return kf_out, loops_out

@@ -60,6 +60,10 @@ class OdometryDiag(NamedTuple):
     n_corner_corr: jax.Array
     surf_iters: jax.Array
     corner_iters: jax.Array
+    # Feature points dropped beyond the FeatureConfig caps this scan
+    # ([sharp, less_sharp, flat, less_flat, outlier] — ScanFeatures.overflow,
+    # surfaced here so drivers can warn; no-silent-caps discipline).
+    feat_overflow: jax.Array   # (5,) int32
 
 
 def init_state(odom_cfg, feat_cfg) -> OdometryState:
@@ -331,5 +335,6 @@ def odometry_step(
         initialized=jnp.array(True),
     )
     diag = OdometryDiag(n_surf_corr=n_surf, n_corner_corr=n_corner,
-                        surf_iters=it_a, corner_iters=it_b)
+                        surf_iters=it_a, corner_iters=it_b,
+                        feat_overflow=feats.overflow)
     return new_state, new_pose, diag

@@ -340,6 +340,30 @@ def slam_scan_block(
     return SlamState(odom=odom_state, mapping=map_state, loops=loops), stacked
 
 
+def maybe_decimate(state: SlamState, cfg: PipelineConfig, margin: int = 16):
+    """Host-side keyframe-store saturation guard.
+
+    When ``count`` is within ``margin`` of ``max_keyframes``, decimate the
+    store (``mapping.decimate_keyframes``: keep the anchor + recent +
+    every 2nd older keyframe) and mark the submap cache stale.  Drivers call
+    this at a convenient cadence (the ``count`` read syncs to host — keep it
+    off the per-scan hot path); ``margin`` must cover the keyframes that can
+    accrete between checks (~1 per mapping step).  Returns
+    ``(state, decimated)``."""
+    from . import mapping as mapping_mod
+
+    cap = cfg.mapping.max_keyframes
+    if int(state.mapping.kf.count) < cap - margin:
+        return state, False
+    kf, loops = mapping_mod.decimate_keyframes(
+        state.mapping.kf, state.loops,
+        keep_recent=cfg.mapping.decimate_keep_recent)
+    cache = state.mapping.cache._replace(stale=jnp.array(True))
+    return state._replace(
+        mapping=state.mapping._replace(kf=kf, cache=cache),
+        loops=loops), True
+
+
 class LoopScheduler:
     """Loop-closure attempt cadence on DATA time.
 
@@ -382,6 +406,8 @@ def run_slam_sequence(scans, cfg: PipelineConfig, times=None):
             run_loop=sched.due(t), bootstrap=(k == 1))
         fused_R.append(out.fused_pose.R)
         fused_t.append(out.fused_pose.t)
+        if k % 32 == 31:
+            state, _ = maybe_decimate(state, cfg)
     return Pose(jnp.stack(fused_R), jnp.stack(fused_t)), state
 
 

@@ -44,6 +44,11 @@ class LoopFactors(NamedTuple):
     var: jax.Array      # (L,) isotropic VARIANCE (ICP fitness, mapOpt.cpp:932-934)
     valid: jax.Array    # (L,)
     count: jax.Array    # ()
+    # Accepted closures discarded because the factor store was full, plus
+    # factors invalidated by keyframe decimation (no-silent-caps discipline;
+    # gtsam's graph is unbounded, mapOptmization.cpp:939 — here the cap is a
+    # compile-time shape, so drivers watch this and raise max_loop_factors).
+    dropped: jax.Array  # () int32
 
 
 def init_loop_factors(cap: int) -> LoopFactors:
@@ -51,7 +56,8 @@ def init_loop_factors(cap: int) -> LoopFactors:
         i=jnp.zeros(cap, jnp.int32), j=jnp.zeros(cap, jnp.int32),
         R=jnp.broadcast_to(jnp.eye(3), (cap, 3, 3)).copy(),
         t=jnp.zeros((cap, 3)), var=jnp.ones(cap),
-        valid=jnp.zeros(cap, bool), count=jnp.int32(0))
+        valid=jnp.zeros(cap, bool), count=jnp.int32(0),
+        dropped=jnp.int32(0))
 
 
 def add_loop_factor(lf: LoopFactors, i, j, meas: Pose, variance) -> LoopFactors:
@@ -65,7 +71,8 @@ def add_loop_factor(lf: LoopFactors, i, j, meas: Pose, variance) -> LoopFactors:
         i=w(lf.i, jnp.int32(i)), j=w(lf.j, jnp.int32(j)),
         R=w(lf.R, meas.R), t=w(lf.t, meas.t), var=w(lf.var, variance),
         valid=w(lf.valid, True),
-        count=k + jnp.where(ok, 1, 0).astype(jnp.int32))
+        count=k + jnp.where(ok, 1, 0).astype(jnp.int32),
+        dropped=lf.dropped + jnp.where(ok, 0, 1).astype(jnp.int32))
 
 
 def _adjoint(p: Pose) -> jax.Array:

@@ -119,12 +119,10 @@ def relocalize(
                           max_corr_dist=cfg.icp_max_corr_dist,
                           max_iters=cfg.coarse_iters,
                           eps=cfg.icp_eps, backend=cfg.icp_backend)
-        # Gate on correspondence count + fitness only: PCL's hasConverged()
-        # (the reference's check, mapOptmization.cpp:904) is true on ANY
-        # termination incl. the iteration cap, while ops/icp.py's
-        # ``converged`` flag means the eps criterion fired BEFORE the cap —
-        # a still-improving good alignment must not be discarded here.
-        fit = jnp.where(ok & (res.n_corr > 10), res.fitness, jnp.inf)
+        # PCL hasConverged() + fitness gate (the reference's check,
+        # mapOptmization.cpp:904): true on ANY termination incl. the
+        # iteration cap — same semantics as models/loopclosure.py.
+        fit = jnp.where(ok & res.has_converged, res.fitness, jnp.inf)
         T_fix = Pose(se3.mat3_mul(res.pose.R, T_h.R),
                      se3.rotate_vec(res.pose.R, T_h.t) + res.pose.t)
         return None, (fit, T_fix.R, T_fix.t, idx)
@@ -156,7 +154,7 @@ def relocalize(
                           max_corr_dist=cfg.icp_max_corr_dist,
                           max_iters=cfg.icp_max_iters,
                           eps=cfg.icp_eps, backend=cfg.icp_backend)
-        fit_r = jnp.where(ok_r & (res.n_corr > 10), res.fitness, jnp.inf)
+        fit_r = jnp.where(ok_r & res.has_converged, res.fitness, jnp.inf)
         T_r = Pose(se3.mat3_mul(res.pose.R, T_c.R),
                    se3.rotate_vec(res.pose.R, T_c.t) + res.pose.t)
         better = fit_r < best_fit

@@ -55,6 +55,13 @@ class ScanFeatures(NamedTuple):
     less_flat: FeatureCloud    # surfPointsLessFlat    (0.2 m downsampled rest)
     outlier: FeatureCloud      # thinned invalid-cluster points (outlierCloud;
                                # mapping folds these into the surf map)
+    # Points dropped beyond each cloud's fixed cap this scan, in field order
+    # [sharp, less_sharp, flat, less_flat, outlier] — no-silent-caps
+    # discipline: the reference's std::vector clouds never truncate
+    # (featureAssociation.cpp:702-783), so a nonzero entry here means the
+    # FeatureConfig caps are undersized for this sensor/scene and should be
+    # raised (the CLI warns; tests/test_features.py pins the counter).
+    overflow: jax.Array        # (5,) int32
 
 
 class FeatureDebug(NamedTuple):
@@ -287,8 +294,8 @@ def extract_features(
 
 def _compact_cloud(mask, cap, xyz, ring, rel):
     """Index-order compaction of a dense mask into fixed-cap arrays via
-    cumsum + ONE stacked one-winner scatter (no sort; overflow beyond cap
-    dropped)."""
+    cumsum + ONE stacked one-winner scatter.  Overflow beyond ``cap`` is
+    dropped — and COUNTED: returns (cloud, n_dropped)."""
     mflat = mask.reshape(-1)
     slot = jnp.cumsum(mflat, dtype=jnp.int32) - 1
     tgt = jnp.where(mflat & (slot < cap), slot, cap)
@@ -298,8 +305,10 @@ def _compact_cloud(mask, cap, xyz, ring, rel):
     out = jnp.zeros((cap + 1, 6), vals.dtype).at[tgt].set(vals)[:cap]
     out_ok = out[:, 5] > 0.5
     z = out_ok.astype(jnp.float32)
+    n_total = jnp.sum(mflat).astype(jnp.int32)
+    n_dropped = jnp.maximum(n_total - cap, 0)
     return FeatureCloud(xyz=out[:, :3] * z[:, None], ring=out[:, 3] * z,
-                        rel_time=out[:, 4] * z, valid=out_ok)
+                        rel_time=out[:, 4] * z, valid=out_ok), n_dropped
 
 
 def _build_clouds(img, seg, c, count, in_ring, label, cfg, xyz_deskewed):
@@ -312,9 +321,9 @@ def _build_clouds(img, seg, c, count, in_ring, label, cfg, xyz_deskewed):
     def gather_cloud(mask, cap):
         return _compact_cloud(mask, cap, c["xyz"], ring_f, c["rel"])
 
-    sharp = gather_cloud(label == 2, cfg.max_sharp)
-    less_sharp = gather_cloud(label >= 1, cfg.max_less_sharp)
-    flat = gather_cloud(label == -1, cfg.max_flat)
+    sharp, sharp_drop = gather_cloud(label == 2, cfg.max_sharp)
+    less_sharp, ls_drop = gather_cloud(label >= 1, cfg.max_less_sharp)
+    flat, flat_drop = gather_cloud(label == -1, cfg.max_flat)
 
     # Less-flat: every segmented point with label <= 0 (includes flat picks),
     # downsampled at 0.2 m (featureAssociation.cpp:771-783, per-ring
@@ -329,13 +338,13 @@ def _build_clouds(img, seg, c, count, in_ring, label, cfg, xyz_deskewed):
         prev_lf = jnp.roll(lf_mask, 1, axis=1)
         keep = lf_mask & ~(same & prev_lf)
         keep = keep.at[:, 0].set(lf_mask[:, 0])   # ring start begins a run
-        less_flat = _compact_cloud(keep, cfg.max_less_flat, c["xyz"],
-                                   ring_f, c["rel"])
+        less_flat, lf_drop = _compact_cloud(keep, cfg.max_less_flat, c["xyz"],
+                                            ring_f, c["rel"])
     else:
         payload = jnp.stack([ring_f, c["rel"]], axis=-1).reshape(-1, 2)
-        pts, pay, v = voxel_downsample_with_payload(
+        pts, pay, v, lf_drop = voxel_downsample_with_payload(
             c["xyz"].reshape(-1, 3), payload, lf_mask.reshape(-1),
-            cfg.less_flat_leaf, cfg.max_less_flat,
+            cfg.less_flat_leaf, cfg.max_less_flat, return_overflow=True,
         )
         less_flat = FeatureCloud(xyz=pts, ring=pay[:, 0], rel_time=pay[:, 1],
                                  valid=v)
@@ -343,8 +352,11 @@ def _build_clouds(img, seg, c, count, in_ring, label, cfg, xyz_deskewed):
     # Outlier cloud (imageProjection.cpp:328-335): gathered straight from the
     # DENSE image (these cells are not part of the ring compaction).
     xyz_src = img.xyz if xyz_deskewed is None else xyz_deskewed
-    outlier = _compact_cloud(seg.outlier, cfg.max_outlier, xyz_src, ring_f,
-                             img.rel_time)
+    outlier, out_drop = _compact_cloud(seg.outlier, cfg.max_outlier, xyz_src,
+                                       ring_f, img.rel_time)
 
+    overflow = jnp.stack([sharp_drop, ls_drop, flat_drop, lf_drop, out_drop]
+                         ).astype(jnp.int32)
     return ScanFeatures(sharp=sharp, less_sharp=less_sharp, flat=flat,
-                        less_flat=less_flat, outlier=outlier)
+                        less_flat=less_flat, outlier=outlier,
+                        overflow=overflow)

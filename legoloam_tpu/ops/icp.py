@@ -25,6 +25,17 @@ from .voxel import knn
 class IcpResult(NamedTuple):
     pose: Pose          # transform mapping src into dst's frame
     fitness: jax.Array  # mean squared NN distance (PCL getFitnessScore)
+    # PCL-compatible ``hasConverged()``: true on ANY termination — the eps
+    # criterion OR the iteration cap — as long as correspondences exist.
+    # PCL's flag is set by align() reaching its termination condition
+    # (max-iterations counts), so the reference's acceptance at
+    # mapOptmization.cpp:904 is effectively fitness-only; gate on THIS field
+    # plus the fitness threshold to reproduce it.
+    has_converged: jax.Array
+    # Strict flag: the eps criterion fired BEFORE the iteration cap.  A
+    # still-improving alignment that used every iteration has
+    # ``converged``=False but ``has_converged``=True — the reference accepts
+    # it; don't gate acceptance on this field.
     converged: jax.Array
     n_corr: jax.Array
 
@@ -107,4 +118,5 @@ def icp(
     n_corr = jnp.sum(match)
     fitness = jnp.sum(jnp.where(match, d, 0.0)) / jnp.maximum(n_corr, 1)
     return IcpResult(pose=T, fitness=fitness,
+                     has_converged=n_corr > 10,
                      converged=done & (n_corr > 10), n_corr=n_corr)

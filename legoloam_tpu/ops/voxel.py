@@ -63,11 +63,13 @@ def _morton_voxel(ijk: jax.Array) -> jax.Array:
             | (_part1by2(u[..., 2]) << 2))
 
 
-@functools.partial(jax.jit, static_argnames=("cap", "return_counts"))
+@functools.partial(jax.jit,
+                   static_argnames=("cap", "return_counts",
+                                    "return_overflow"))
 def voxel_downsample(
     points: jax.Array, valid: jax.Array, leaf: jax.Array | float, cap: int,
     origin: jax.Array | None = None, return_counts: bool = False,
-    weights: jax.Array | None = None,
+    weights: jax.Array | None = None, return_overflow: bool = False,
 ):
     """Centroid-per-voxel downsampling (PCL VoxelGrid equivalent).
 
@@ -113,18 +115,26 @@ def voxel_downsample(
     sums, counts = acc[:, :3], acc[:, 3]
     out_valid = counts > 0
     out = sums / jnp.maximum(counts, 1e-9)[:, None]
+    res = (out * out_valid[:, None], out_valid)
     if return_counts:
-        return out * out_valid[:, None], out_valid, counts
-    return out * out_valid[:, None], out_valid
+        res = res + (counts,)
+    if return_overflow:
+        # Occupied voxels beyond the cap (dropped, highest-key-first —
+        # no-silent-caps discipline; callers surface this in their diag).
+        n_groups = jnp.sum(new_group).astype(jnp.int32)
+        res = res + (jnp.maximum(n_groups - cap, 0),)
+    return res
 
 
-@functools.partial(jax.jit, static_argnames=("cap",))
+@functools.partial(jax.jit, static_argnames=("cap", "return_overflow"))
 def voxel_downsample_with_payload(
     points: jax.Array, payload: jax.Array, valid: jax.Array,
-    leaf: jax.Array | float, cap: int
-) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    leaf: jax.Array | float, cap: int, return_overflow: bool = False
+) -> Tuple[jax.Array, ...]:
     """As ``voxel_downsample`` but also averages a per-point payload (K,) or
-    (K, D) over each voxel (used to carry ring ids / timestamps through)."""
+    (K, D) over each voxel (used to carry ring ids / timestamps through).
+    ``return_overflow`` appends the count of occupied voxels dropped beyond
+    ``cap`` (no-silent-caps discipline)."""
     ijk = jnp.floor(points / leaf).astype(jnp.int32)
     h = masked_fill_u32(_hash_voxel(ijk), valid, 0xFFFFFFFF)
     order = jnp.argsort(h)
@@ -150,6 +160,9 @@ def voxel_downsample_with_payload(
     outp = (psums / c[:, None]) * out_valid[:, None]
     if payload.ndim == 1:
         outp = outp[:, 0]
+    if return_overflow:
+        n_groups = jnp.sum(new_group).astype(jnp.int32)
+        return out, outp, out_valid, jnp.maximum(n_groups - cap, 0)
     return out, outp, out_valid
 
 

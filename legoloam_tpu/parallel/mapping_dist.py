@@ -57,7 +57,7 @@ def shard_keyframes(kf: KeyframeStore, mesh: Mesh, axis: str = "data"
     rep = NamedSharding(mesh, P())
 
     def put(x, name):
-        if name == "count":
+        if x.ndim == 0:            # scalars (count, overflow): replicated
             return jax.device_put(x, rep)
         return jax.device_put(x[perm], sharded)
 

@@ -77,6 +77,8 @@ class DistKeyframes(NamedTuple):
     surf: jax.Array         # (M, Cs, 3) SHARDED
     surf_valid: jax.Array
     count: jax.Array        # () replicated
+    overflow: jax.Array     # () replicated: warranted-but-dropped keyframes
+                            # (no-silent-caps; see mapping.KeyframeStore)
 
 
 class DistMapState(NamedTuple):
@@ -120,6 +122,7 @@ def init_dist_state(cfg: PipelineConfig, mesh: Mesh, axis: str = "data"
         surf=shrd(jnp.zeros((m, cfg.mapping.scan_surf_cap, 3))),
         surf_valid=shrd(jnp.zeros((m, cfg.mapping.scan_surf_cap), bool)),
         count=repl(jnp.int32(0)),
+        overflow=repl(jnp.int32(0)),
     )
     mstate = DistMapState(
         kf=kf, t_bef=Pose.identity(), t_aft=Pose.identity(),
@@ -158,7 +161,8 @@ def from_keyframe_store(kf, mesh: Mesh, axis: str = "data") -> DistKeyframes:
         corner_valid=jax.device_put(kf.corner_valid[perm], sharded),
         surf=jax.device_put(kf.surf[perm], sharded),
         surf_valid=jax.device_put(kf.surf_valid[perm], sharded),
-        count=jax.device_put(kf.count, rep))
+        count=jax.device_put(kf.count, rep),
+        overflow=jax.device_put(kf.overflow, rep))
 
 
 def to_keyframe_store(kf: DistKeyframes, mesh: Mesh | None = None):
@@ -186,7 +190,8 @@ def to_keyframe_store(kf: DistKeyframes, mesh: Mesh | None = None):
     return KeyframeStore(
         R=kf.R, t=kf.t, time=kf.time, chain_R=kf.chain_R, chain_t=kf.chain_t,
         corner=kf.corner[inv], corner_valid=kf.corner_valid[inv],
-        surf=kf.surf[inv], surf_valid=kf.surf_valid[inv], count=kf.count)
+        surf=kf.surf[inv], surf_valid=kf.surf_valid[inv], count=kf.count,
+        overflow=kf.overflow)
 
 
 # ---------------------------------------------------------------------------
@@ -409,7 +414,9 @@ def mapping_step_dist(
     kf = state.kf
     last_idx = jnp.maximum(kf.count - 1, 0)
     moved = jnp.linalg.norm(T.t - kf.t[last_idx]) >= cfg.keyframe_dist
-    is_new = (~state.initialized) | (moved & (kf.count < kf.t.shape[0]))
+    has_room = kf.count < kf.t.shape[0]
+    is_new = (~state.initialized) | (moved & has_room)
+    overflow_now = state.initialized & moved & ~has_room
     prev_pose = Pose(kf.R[last_idx], kf.t[last_idx])
     meas = se3.relative(prev_pose, T)
 
@@ -426,7 +433,9 @@ def mapping_step_dist(
     kf = _append_clouds_dist(kf, kf.count, is_new, c_pts, c_ok, s_pts, s_ok,
                              mesh, axis)
     kf = kf._replace(
-        count=kf.count + jnp.where(is_new, 1, 0).astype(jnp.int32))
+        count=kf.count + jnp.where(is_new, 1, 0).astype(jnp.int32),
+        overflow=kf.overflow
+        + jnp.where(overflow_now, 1, 0).astype(jnp.int32))
 
     new_state = DistMapState(
         kf=kf, t_bef=odom_pose, t_aft=T,
@@ -434,7 +443,8 @@ def mapping_step_dist(
         initialized=jnp.array(True))
     diag = MappingDiag(
         n_corner_res=n_c, n_surf_res=n_s, iters=iters, new_keyframe=is_new,
-        n_submap_corner=jnp.sum(sub_cv), n_submap_surf=jnp.sum(sub_sv))
+        n_submap_corner=jnp.sum(sub_cv), n_submap_surf=jnp.sum(sub_sv),
+        kf_overflow=overflow_now, submap_overflow=jnp.int32(0))
     return new_state, T, diag
 
 
@@ -510,7 +520,9 @@ def close_and_correct_dist(
         cur_pts, cur_val, hist_pts, hist_val, Pose.identity(),
         max_corr_dist=cfg.icp_max_corr_dist, max_iters=cfg.icp_max_iters,
         eps=cfg.icp_eps, backend=cfg.icp_backend)
-    accept = has_cand & res.converged & (res.fitness < cfg.fitness_thresh)
+    # PCL hasConverged() semantics — cap-terminated good alignments accepted
+    # (matches models/loopclosure.py; mapOptmization.cpp:904).
+    accept = has_cand & res.has_converged & (res.fitness < cfg.fitness_thresh)
 
     T_cur = Pose(kf.R[cur], kf.t[cur])
     T_cor = se3.compose(res.pose, T_cur)

@@ -85,3 +85,22 @@ def test_empty_scan_has_no_features():
     assert int(f.less_sharp.count) == 0
     assert int(f.flat.count) == 0
     assert int(f.less_flat.count) == 0
+
+
+def test_feature_cap_overflow_counted(feats_and_inputs):
+    """Undersized FeatureConfig caps drop points — and COUNT them in
+    ScanFeatures.overflow (no-silent-caps); generous default caps stay 0."""
+    import dataclasses
+    feats, img, seg = feats_and_inputs
+    assert not np.asarray(feats.overflow).any()     # defaults never overflow
+    tiny = dataclasses.replace(
+        DEFAULT.feat, max_sharp=8, max_less_sharp=16, max_flat=8,
+        max_less_flat=64, max_outlier=8, picks_backend="xla")
+    f2 = features.extract_features(img, seg, VLP16, tiny)
+    over = np.asarray(f2.overflow)
+    assert (over > 0).all(), over
+    # Counted exactly: kept + dropped == the uncapped population.
+    assert int(f2.sharp.valid.sum()) + int(over[0]) \
+        == int(feats.sharp.valid.sum())
+    assert int(f2.outlier.valid.sum()) + int(over[4]) \
+        == int(feats.outlier.valid.sum())

@@ -95,6 +95,39 @@ def test_close_and_correct_fixes_drift():
     np.testing.assert_allclose(np.asarray(kf2.t[0]), [0.0, 0.0, 0.8], atol=0.05)
 
 
+def test_cap_terminated_icp_accepted():
+    """PCL hasConverged() semantics (mapOptmization.cpp:904): an alignment
+    that exhausts the iteration cap WITHOUT firing the eps criterion, but
+    ends under the fitness threshold, must still be accepted — the reference's
+    acceptance is effectively fitness-only.  Force cap termination by
+    allowing so few iterations that |err(i) - err(i-1)| never drops
+    below eps."""
+    kf = build_drifted_store()
+    loops = posegraph.init_loop_factors(8)
+    capped = dataclasses.replace(LOOP_CFG, icp_max_iters=3, icp_eps=0.0)
+    # icp_eps=0 can never fire (|Δerr| < 0 is impossible) -> every ICP run is
+    # cap-terminated; the strict `converged` flag is False by construction.
+    from legoloam_tpu.models.loopclosure import (_history_cloud, _world_cloud,
+                                                 detect)
+    from legoloam_tpu.ops import icp as icp_ops
+    cand = detect(kf, capped)
+    cur = int(kf.count) - 1
+    cur_pts, cur_val = _world_cloud(kf, cur)
+    hist_pts, hist_val = _history_cloud(kf, jnp.maximum(cand, 0), capped)
+    res = icp_ops.icp(cur_pts, cur_val, hist_pts, hist_val, Pose.identity(),
+                      max_corr_dist=capped.icp_max_corr_dist,
+                      max_iters=capped.icp_max_iters, eps=capped.icp_eps)
+    assert not bool(res.converged), "eps fired with eps=0 — impossible"
+    assert bool(res.has_converged)
+    assert float(res.fitness) < capped.fitness_thresh, float(res.fitness)
+    # The full closure path must accept this cap-terminated alignment.
+    kf2, loops2, corrected, diag = loopclosure.close_and_correct(
+        kf, loops, capped, SOFT_PG)
+    assert bool(diag.closed), f"cap-terminated alignment rejected " \
+                              f"(fitness {float(diag.fitness)})"
+    assert int(loops2.count) == 1
+
+
 def test_no_false_closure_when_far():
     """If the latest keyframe is far from everything old, nothing happens."""
     kf = build_drifted_store()

@@ -75,3 +75,21 @@ def test_knn_masks():
     # Invalid query -> BIG distances.
     d2, _ = voxel.knn(q, jnp.zeros(1, bool), r, rv, k=2)
     assert np.all(np.asarray(d2) > 1e29)
+
+
+def test_voxel_downsample_overflow_counted():
+    """Occupied voxels beyond the cap are dropped AND counted
+    (no-silent-caps; voxel.voxel_downsample return_overflow)."""
+    # 100 points in 100 distinct 1m voxels, cap 64 -> 36 dropped.
+    pts = jnp.stack([jnp.arange(100.0) * 2.0, jnp.zeros(100),
+                     jnp.zeros(100)], axis=-1)
+    out, ok, overflow = voxel.voxel_downsample(
+        pts, jnp.ones(100, bool), 1.0, 64, origin=jnp.zeros(3),
+        return_overflow=True)
+    assert int(ok.sum()) == 64
+    assert int(overflow) == 36
+    # Under the cap: zero overflow.
+    _, ok2, of2 = voxel.voxel_downsample(
+        pts, jnp.ones(100, bool), 1.0, 128, origin=jnp.zeros(3),
+        return_overflow=True)
+    assert int(ok2.sum()) == 100 and int(of2) == 0

@@ -78,16 +78,8 @@ def main():
         m = dataclasses.replace(m, prior_rot_std_deg=args.rot_std)
     if args.trans_std is not None:
         m = dataclasses.replace(m, prior_trans_std=args.trans_std)
-    for kv in args.set:
-        key, val = kv.split("=", 1)
-        cur = getattr(m, key)
-        if isinstance(cur, bool):
-            cast = val == "True"
-        elif isinstance(cur, str):
-            cast = val
-        else:
-            cast = type(cur)(float(val))
-        m = dataclasses.replace(m, **{key: cast})
+    from legoloam_tpu.config import apply_overrides
+    m = apply_overrides(m, args.set)
     cfg = cfg.replace(mapping=m)
     if args.picks_backend:
         cfg = cfg.replace(feat=dataclasses.replace(

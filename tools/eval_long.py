@@ -64,6 +64,7 @@ def main():
 
     import dataclasses
 
+    from legoloam_tpu import config
     from legoloam_tpu.config import DEFAULT
     from legoloam_tpu.models import pipeline
     from legoloam_tpu.ops.se3 import Pose
@@ -74,31 +75,10 @@ def main():
         cfg = dataclasses.replace(
             cfg, loop=dataclasses.replace(cfg.loop, enabled=True))
     if args.set_map:
-        m = cfg.mapping
-        for kv in args.set_map:
-            key, val = kv.split("=", 1)
-            cur = getattr(m, key)
-            if isinstance(cur, bool):
-                cast = val == "True"
-            elif isinstance(cur, str):
-                cast = val
-            else:
-                cast = type(cur)(float(val))
-            m = dataclasses.replace(m, **{key: cast})
-        cfg = cfg.replace(mapping=m)
+        cfg = cfg.replace(
+            mapping=config.apply_overrides(cfg.mapping, args.set_map))
     if args.set_odo:
-        o = cfg.odom
-        for kv in args.set_odo:
-            key, val = kv.split("=", 1)
-            cur = getattr(o, key)
-            if isinstance(cur, bool):
-                cast = val == "True"
-            elif isinstance(cur, str):
-                cast = val
-            else:
-                cast = type(cur)(float(val))
-            o = dataclasses.replace(o, **{key: cast})
-        cfg = cfg.replace(odom=o)
+        cfg = cfg.replace(odom=config.apply_overrides(cfg.odom, args.set_odo))
 
     scene = (synthetic.loop_scene() if args.world == "loop"
              else synthetic.circuit_scene(args.circuit_half)
@@ -155,6 +135,10 @@ def main():
             np.asarray(out.fused_pose.t)   # host sync, keeps queue bounded
             print(f"  scan {k + 1}/{n}  ({(k + 1) / (time.perf_counter() - t0):.1f} scans/s incl. raycast)",
                   flush=True)
+            state, did = pipeline.maybe_decimate(state, cfg, margin=48)
+            if did:
+                print(f"  [decimate] keyframe store -> "
+                      f"{int(state.mapping.kf.count)} kf", flush=True)
         fused.append(out.fused_pose.t)
         odoms.append(out.odom_pose.t)
         if args.save:

@@ -296,7 +296,7 @@ def _ray_dirs(sensor: SensorConfig) -> jax.Array:
 
 
 @functools.partial(jax.jit, static_argnames=("sensor", "motion",
-                                             "noise_sigma"))
+                                             "noise_sigma", "spin_warp"))
 def raycast_scan(
     scene: Scene,
     pose: Pose,
@@ -305,6 +305,7 @@ def raycast_scan(
     noise_sigma: float = 0.0,
     next_pose: Optional[Pose] = None,
     motion: bool = False,
+    spin_warp: float = 0.0,
 ):
     """Simulate one scan from ``pose`` (sensor frame origin).
 
@@ -315,6 +316,15 @@ def raycast_scan(
     sensor coordinates, matching what a real (un-deskewed) lidar outputs in its
     own spinning frame: each point is measured in the sensor frame at its firing
     time.
+
+    ``spin_warp``: non-uniform rotation speed — a real spindle under load does
+    not sweep azimuth linearly in time, so the azimuth-proportional per-point
+    time every LOAM-style pipeline infers (``src/featureAssociation.cpp:
+    504-522``; ``ops/projection.py`` rel_time) is systematically wrong by up
+    to ``spin_warp`` scan-fractions.  Here the firing TIME of column u in
+    [0,1] becomes  t(u) = u + spin_warp*sin(2*pi*u)/(2*pi)  (one full
+    speed oscillation per revolution, ~spin_warp peak-to-peak rate change)
+    while geometry stays azimuth-indexed — exactly the real-sensor mismatch.
     """
     h, n = sensor.horizon_scan, sensor.n_scan
     dirs = _ray_dirs(sensor)  # (P, 3) emission order
@@ -322,6 +332,9 @@ def raycast_scan(
 
     if motion and next_pose is not None:
         frac = (jnp.arange(p_total) // n).astype(jnp.float32) / h
+        if spin_warp:
+            frac = frac + spin_warp * jnp.sin(2.0 * jnp.pi * frac) \
+                / (2.0 * jnp.pi)
         R_t = se3.so3_interp(
             jnp.broadcast_to(pose.R, (p_total, 3, 3)),
             jnp.broadcast_to(next_pose.R, (p_total, 3, 3)),

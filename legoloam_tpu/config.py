@@ -429,8 +429,12 @@ class PoseGraphConfig:
     (reference: mapOptmization.cpp:36-47,1353-1454).
 
     Instead of reproducing iSAM2's incremental Bayes-tree bookkeeping we re-solve
-    the full graph with matrix-free Gauss-Newton + preconditioned CG each time a
-    loop factor arrives (models/loopclosure.py:close_and_correct).  Between loop
+    the full graph each time a loop factor arrives
+    (models/loopclosure.py:close_and_correct) with Gauss-Newton in LINK space —
+    chain factors block-diagonal, loop factors rank-6 range terms, CG
+    preconditioned by the exact chain inverse (see models/posegraph.py: the
+    reference's 1e-8 chain variances are a 10^7 conditioning gap that stalls
+    naive pose-space PCG).  Between loop
     factors no solve runs at all: with only prior + chain factors the graph's
     residual is exactly zero at the current estimate (each keyframe pose IS the
     composition of its chain measurements), so the reference's per-keyframe
@@ -448,9 +452,19 @@ class PoseGraphConfig:
     odom_rot_var: float = 1e-6
     odom_trans_var: float = 1e-8
     gn_iters: int = 8
-    pcg_iters: int = 64          # upper bound; the tolerance usually exits first
+    # Link-space CG (posegraph.py): preconditioned by the exact chain-block
+    # inverse, the spectrum is 1 + at most 6·n_loop_factors outliers, so CG
+    # terminates in ~6L+1 iterations INDEPENDENT of the 10^7 chain/loop
+    # stiffness ratio; the cap covers L ~ 80 simultaneous factors and the
+    # tolerance exits far earlier on typical graphs.
+    pcg_iters: int = 512
     pcg_tol: float = 1e-8        # early exit when ||r||^2 <= pcg_tol * ||b||^2
-    max_loop_factors: int = 256
+    # gtsam's graph is unbounded (mapOptmization.cpp:939); this cap is a
+    # compile-time shape.  The round-5 6-lap recency-regime run ACCEPTED 256
+    # closures (reference 1 Hz cadence, continuous revisits) and measurably
+    # degraded once the store saturated — size for multi-hour runs and watch
+    # LoopFactors.dropped (no-silent-caps).  Arrays are tiny (~100 B/factor).
+    max_loop_factors: int = 1024
 
 
 @dataclasses.dataclass(frozen=True)

@@ -8,17 +8,28 @@ rewriting the keyframe store after a loop closes.
 
 Design (TPU-first, SURVEY.md §7 hard-part 5): instead of reproducing iSAM2's
 Bayes-tree incremental bookkeeping — pointer-chasing the TPU cannot execute —
-we re-solve the full graph with matrix-free Gauss-Newton + block-Jacobi
-preconditioned conjugate gradients.  Every factor's contribution to the
-Hessian-vector product is a batched 6x6 block op + segment_sum scatter; there
-is no sparse matrix, no elimination ordering, no allocation.  At <=20K poses a
-full re-solve is sub-millisecond-scale device work and strictly MORE accurate
-than incremental relinearization.  This formulation is also the distribution
-point: shard the factor axis and psum the reductions (parallel/posegraph_dist).
+we re-solve the full graph with Gauss-Newton in LINK SPACE.  The variables are
+per-link corrections u_k (node perturbation v_k = Σ_{m<=k} u_m, a plain
+cumsum): in these coordinates every chain factor touches exactly ONE variable,
+so the chain Hessian is block-diagonal (D_k = B_kᵀ W B_k with B_k = Ad(x_k⁻¹),
+whose inverse is the EXACT adjoint identity Ad(x_k) W⁻¹ Ad(x_k)ᵀ — no linear
+solve, f32-stable at any lever arm), and each loop factor is a rank-6 term
+over a contiguous link range (a prefix-sum gather).  CG preconditioned by
+D⁻¹ then sees identity + rank-6L and converges in ~6·n_loops+1 iterations
+REGARDLESS of the chain/loop stiffness ratio — the reference's gtsam noise
+model (chain variance 1e-8 vs loop fitness ~1e-1, a 10^7 conditioning gap,
+mapOptmization.cpp:347-350,932-934) made naive pose-space block-Jacobi PCG
+stall with near-zero correction (round-5 finding; the load-bearing closure
+experiment exposed it).  Everything is cumsums, batched 6x6 block ops, and
+L-sized gathers — no sparse matrix, no elimination ordering; a full re-solve
+stays sub-millisecond device work at <=20K poses and is strictly MORE
+accurate than incremental relinearization.  The factor-block assembly is the
+distribution point (parallel/posegraph_dist).
 
-Parameterization: right-multiplicative tangent updates x <- x·exp(δ) with the
-standard first-order between-factor Jacobians J_j = I, J_i = -Ad(T_j⁻¹ T_i)
-(exact as residuals -> 0, the regime GN operates in).
+Parameterization: left-multiplicative world-frame tangent updates
+x_k <- exp(v_k)·x_k with between-factor linearization
+r(v) ≈ r₀ + Ad(x_j⁻¹)(v_j − v_i) (J_r⁻¹ ≈ I, exact as residuals -> 0, the
+regime GN operates in).
 """
 
 from __future__ import annotations
@@ -132,72 +143,106 @@ def optimize(
     prior: Pose,
     cfg: PoseGraphConfig,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Full GN+PCG re-solve.  R/t: (M, 3, 3)/(M, 3) node estimates (rows >=
-    n_nodes inert); chain_R/chain_t: (M, ...) between measurement from node
-    k-1 to k (row 0 unused); prior anchors node 0.
+    """Full GN re-solve in link space (module docstring).  R/t: (M, 3, 3)/
+    (M, 3) node estimates (rows >= n_nodes inert); chain_R/chain_t: (M, ...)
+    between measurement from node k-1 to k (row 0 unused); prior anchors
+    node 0.
 
     Returns updated (R, t)."""
     M = R.shape[0]
-    node_ok = jnp.arange(M) < n_nodes
-    factors = _assemble_factors(chain_R, chain_t, n_nodes, loops, cfg, M)
-    w_prior = jnp.array([1.0 / cfg.prior_rot_var] * 3
-                        + [1.0 / cfg.prior_trans_var] * 3)
+    idx = jnp.arange(M, dtype=jnp.int32)
+    node_ok = idx < n_nodes
+    chain_ok = (idx >= 1) & (idx < n_nodes)
+    inert = ~node_ok
+
+    W_c = jnp.array([1.0 / cfg.odom_rot_var] * 3
+                    + [1.0 / cfg.odom_trans_var] * 3)
+    W_p = jnp.array([1.0 / cfg.prior_rot_var] * 3
+                    + [1.0 / cfg.prior_trans_var] * 3)
+
+    # Loop ranges: r ≈ r₀ + sgn·B_l·S_l(u), S_l = Σ_{lo<m<=hi} u_m.
+    l_lo = jnp.minimum(loops.i, loops.j)
+    l_hi = jnp.maximum(loops.i, loops.j)
+    sgn = jnp.where(loops.j >= loops.i, 1.0, -1.0)
+    wl6 = jnp.where(loops.valid,
+                    1.0 / jnp.maximum(loops.var, 1e-9), 0.0)[:, None] \
+        * jnp.ones((1, 6))                                       # (L, 6)
 
     def gn_body(_, Rt):
         R_cur, t_cur = Rt
-        xi_p = Pose(R_cur[factors.i], t_cur[factors.i])
-        xj_p = Pose(R_cur[factors.j], t_cur[factors.j])
-        Z = Pose(factors.R, factors.t)
-        r = _between_residual(xi_p, xj_p, Z)              # (F, 6)
-        Ji = -_adjoint(se3.relative(xj_p, xi_p))          # (F, 6, 6)
-        fw = jnp.where(factors.valid[:, None], factors.w, 0.0)  # (F, 6)
+        x_self = Pose(R_cur, t_cur)
+        x_prev = Pose(R_cur[jnp.maximum(idx - 1, 0)],
+                      t_cur[jnp.maximum(idx - 1, 0)])
 
-        # Prior residual on node 0: log(prior⁻¹ x_0).
-        r0 = se3.se3_log(se3.compose(se3.inverse(prior),
-                                     Pose(R_cur[0], t_cur[0])))
+        # Chain linearization: per-link residual + B_m = Ad(x_m⁻¹).
+        r_c = _between_residual(x_prev, x_self, Pose(chain_R, chain_t))
+        r_c = jnp.where(chain_ok[:, None], r_c, 0.0)
+        B = _adjoint(se3.inverse(x_self))                        # (M, 6, 6)
+        B_inv = _adjoint(x_self)                                 # exact B⁻¹
 
-        def rhs():
-            """b = Σ Jᵀ W r (gradient), shape (M, 6)."""
-            wr = r * fw
-            contrib_j = wr
-            contrib_i = jnp.einsum("fab,fb->fa", jnp.swapaxes(Ji, -1, -2), wr)
-            b = jax.ops.segment_sum(contrib_j, factors.j, num_segments=M)
-            b = b + jax.ops.segment_sum(contrib_i, factors.i, num_segments=M)
-            return b.at[0].add(w_prior * r0)
+        # Prior on node 0 rides the same row (B[0] = Ad(x_0⁻¹) = B_p).
+        r_p = se3.se3_log(se3.compose(se3.inverse(prior),
+                                      Pose(R_cur[0], t_cur[0])))
+        Wrow = jnp.where(chain_ok[:, None], W_c[None, :], 0.0)
+        Wrow = Wrow.at[0].set(jnp.where(node_ok[0], W_p, jnp.zeros(6)))
+        Winv_row = jnp.where(Wrow > 0, 1.0 / jnp.maximum(Wrow, 1e-30), 0.0)
+        r_rows = r_c.at[0].set(jnp.where(node_ok[0], r_p, jnp.zeros(6)))
+
+        # Block-diagonal chain Hessian D = Bᵀ W B and its EXACT inverse
+        # D⁻¹ = B⁻¹ W⁻¹ B⁻ᵀ (adjoint identity — no linear solve).  Neither
+        # is ever FORMED: with |t| ~ 10²-m lever arms, D's entries span
+        # w_v·|t|² ~ 1e12 down to w_r ~ 1e6, and materializing that matrix
+        # in f32 loses the small scales (measured: D·D⁻¹ off identity by
+        # 4e4, CG curvature pᵀHp goes negative, solve NaNs).  Applying the
+        # FACTORED form keeps every stage near unit relative error and the
+        # quadratic form PSD by construction.
+        def D_apply(v):
+            # Bᵀ (W ⊙ (B v))
+            return jnp.einsum("mab,ma->mb", B,
+                              Wrow * jnp.einsum("mab,mb->ma", B, v))
+
+        def D_inv_apply(v):
+            # B⁻¹ (W⁻¹ ⊙ (B⁻ᵀ v))
+            return jnp.einsum("mab,mb->ma", B_inv,
+                              Winv_row * jnp.einsum("mab,ma->mb", B_inv, v))
+
+        # Loop linearization.
+        x_i = Pose(R_cur[loops.i], t_cur[loops.i])
+        x_j = Pose(R_cur[loops.j], t_cur[loops.j])
+        r_l = _between_residual(x_i, x_j, Pose(loops.R, loops.t))
+        B_l = _adjoint(se3.inverse(x_j))                         # (L, 6, 6)
+
+        def range_scatter(vals):
+            """Σ_l 1[lo<m<=hi]·vals_l via boundary-diff + cumsum, (L,6)->(M,6)."""
+            d = jnp.zeros((M + 1, 6))
+            d = d.at[l_lo + 1].add(vals)
+            d = d.at[l_hi + 1].add(-vals)
+            return jnp.cumsum(d, axis=0)[:M]
+
+        # Gradient g = Jᵀ W r in link space.
+        g = jnp.einsum("mab,ma->mb", B, Wrow * r_rows)
+        a_l = sgn[:, None] * jnp.einsum("lab,la->lb", B_l, wl6 * r_l)
+        g = g + range_scatter(a_l)
+        g = jnp.where(inert[:, None], 0.0, g)
 
         def hvp(v):
-            """H v with H = Σ Jᵀ W J + prior, v: (M, 6)."""
-            vi = v[factors.i]
-            vj = v[factors.j]
-            Jv = jnp.einsum("fab,fb->fa", Ji, vi) + vj     # (F, 6)
-            Jv = Jv * fw
-            out = jax.ops.segment_sum(Jv, factors.j, num_segments=M)
-            out = out + jax.ops.segment_sum(
-                jnp.einsum("fab,fb->fa", jnp.swapaxes(Ji, -1, -2), Jv),
-                factors.i, num_segments=M)
-            out = out.at[0].add(w_prior * v[0])
-            return jnp.where(node_ok[:, None], out, v)  # inert rows: identity
-
-        # Block-Jacobi preconditioner: per-node 6x6 diagonal blocks.
-        # i-side block: Jiᵀ W Ji;  j-side block: diag(W).
-        JtJ_i = jnp.einsum("fba,fb,fbc->fac", Ji, fw, Ji)
-        blocks = jax.ops.segment_sum(JtJ_i, factors.i, num_segments=M)
-        eye6 = jnp.eye(6)
-        blocks = blocks + jax.ops.segment_sum(
-            jax.vmap(jnp.diag)(fw), factors.j, num_segments=M)
-        blocks = blocks.at[0].add(jnp.diag(w_prior))
-        blocks = blocks + 1e-6 * eye6
-        blocks_inv = jnp.linalg.inv(blocks)
+            out = D_apply(v)
+            Qv = jnp.cumsum(jnp.where(node_ok[:, None], v, 0.0), axis=0)
+            S = Qv[l_hi] - Qv[l_lo]                              # (L, 6)
+            y = jnp.einsum("lab,la->lb", B_l,
+                           wl6 * jnp.einsum("lab,lb->la", B_l, S))
+            out = out + range_scatter(y)
+            return jnp.where(inert[:, None], v, out)
 
         def precond(v):
-            return jnp.einsum("mab,mb->ma", blocks_inv, v)
+            return jnp.where(inert[:, None], v, D_inv_apply(v))
 
-        b = -rhs()
-
-        # PCG with relative-residual tolerance exit: stop when
-        # ‖r‖² <= pcg_tol·‖b‖² or after pcg_iters iterations.
+        b = -g
         b2 = jnp.sum(b * b)
 
+        # CG on D + rank-6L: with the exact D⁻¹ preconditioner the spectrum
+        # is 1 + at-most-6L outliers, so the tolerance exit fires in
+        # ~6·n_loops+1 iterations independent of the 10^7 stiffness ratio.
         def pcg_cond(st):
             i, x, rr, p, rz = st
             return (i < cfg.pcg_iters) & (jnp.sum(rr * rr)
@@ -218,12 +263,15 @@ def optimize(
         x0 = jnp.zeros((M, 6))
         z0 = precond(b)
         st = (jnp.int32(0), x0, b, z0, jnp.sum(b * z0))
-        _, x, _, _, _ = jax.lax.while_loop(pcg_cond, pcg_body, st)
+        _, du, _, _, _ = jax.lax.while_loop(pcg_cond, pcg_body, st)
 
-        delta = jnp.where(node_ok[:, None], x, 0.0)
-        upd = se3.se3_exp(delta)
-        R_new = se3.mat3_mul(R_cur, upd.R)   # exact f32 (se3.mat3_mul)
-        t_new = se3.rotate_vec(R_cur, upd.t) + t_cur
+        # Links -> nodes (v = cumsum u) and left-multiplicative update.
+        du = jnp.where(node_ok[:, None], du, 0.0)
+        v = jnp.cumsum(du, axis=0)
+        v = jnp.where(node_ok[:, None], v, 0.0)
+        upd = se3.se3_exp(v)
+        R_new = se3.mat3_mul(upd.R, R_cur)   # exact f32 (se3.mat3_mul)
+        t_new = se3.rotate_vec(upd.R, t_cur) + upd.t
         return R_new, t_new
 
     R_out, t_out = jax.lax.fori_loop(0, cfg.gn_iters, gn_body, (R, t))

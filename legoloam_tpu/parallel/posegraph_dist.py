@@ -1,18 +1,27 @@
-"""Distributed pose-graph solve: factors sharded over the mesh, reductions via
-psum — the "Schur-complement over collectives" backend of BASELINE.json.
+"""Distributed pose-graph solve: the NODE/LINK axis sharded over the mesh —
+the trajectory-axis sequence parallelism of SURVEY.md §5.
 
-The single-chip optimizer (``models/posegraph.py``) is already matrix-free:
-every Hessian-vector product is batched per-factor work + segment_sum onto the
-node axis.  Distribution is therefore embarrassingly direct:
+The single-chip optimizer (``models/posegraph.py``) works in LINK SPACE:
+chain factors are block-diagonal (applied factored, Bᵀ(W⊙(Bv))), loop factors
+are rank-6 terms over contiguous link ranges reached through prefix sums, and
+CG is preconditioned by the exact chain inverse.  Distribution follows the
+axes of that math:
 
-  * factor arrays are sharded over the ``data`` mesh axis (shard_map);
-  * each device computes its shard's contribution to Jᵀr, Hv, and the
-    block-Jacobi preconditioner;
-  * one ``psum`` per reduction makes the node-axis results replicated;
-  * the PCG state (node-sized, tiny relative to factors) stays replicated.
+  * node/link arrays (poses, chain measurements, CG vectors) are sharded
+    over the mesh axis; all per-link work (residuals, adjoints, block
+    matvecs) is local;
+  * the chain residual's x_{k-1} at each shard boundary arrives by
+    ``ppermute`` halo exchange;
+  * prefix sums become the classic distributed scan: local cumsum +
+    ``all_gather`` of per-shard totals + prefix offset;
+  * loop factors are global, tiny (L <= 256) objects: their linearization
+    runs replicated against an ``all_gather`` of the poses, and their
+    range-scatter terms are sliced back to the local shard;
+  * CG dot products are local partials + ``psum``.
 
-This is the keyframe-axis sharding SURVEY.md §5 calls the analogue of
-sequence parallelism over the trajectory axis.
+Same contract and same math as ``models.posegraph.optimize`` — results are
+bit-stable w.r.t. device count up to float reduction order
+(tests/test_sharding.py::test_distributed_posegraph_matches_single_device).
 """
 
 from __future__ import annotations
@@ -40,109 +49,157 @@ def optimize_sharded(
     mesh: Mesh,
     axis: str = "data",
 ):
-    """Same contract as ``models.posegraph.optimize`` but with the factor axis
-    sharded over ``mesh``.  Results are bit-stable w.r.t. device count up to
-    float reduction order."""
+    """Same contract as ``models.posegraph.optimize`` with the node/link axis
+    sharded over ``mesh``."""
     M = R.shape[0]
-    factors = pg._assemble_factors(chain_R, chain_t, n_nodes, loops, cfg, M)
     n_dev = mesh.shape[axis]
-    F = factors.i.shape[0]
-    pad = (-F) % n_dev
+    assert M % n_dev == 0, (M, n_dev)
 
-    def pad_f(a):
-        width = [(0, pad)] + [(0, 0)] * (a.ndim - 1)
-        return jnp.pad(a, width)
+    W_c = jnp.array([1.0 / cfg.odom_rot_var] * 3
+                    + [1.0 / cfg.odom_trans_var] * 3)
+    W_p = jnp.array([1.0 / cfg.prior_rot_var] * 3
+                    + [1.0 / cfg.prior_trans_var] * 3)
 
-    fi = pad_f(factors.i)
-    fj = pad_f(factors.j)
-    fR = pad_f(factors.R)
-    ft = pad_f(factors.t)
-    fww = pad_f(jnp.where(factors.valid[:, None], factors.w, 0.0))
+    l_lo = jnp.minimum(loops.i, loops.j)
+    l_hi = jnp.maximum(loops.i, loops.j)
+    sgn = jnp.where(loops.j >= loops.i, 1.0, -1.0)
+    wl6 = jnp.where(loops.valid,
+                    1.0 / jnp.maximum(loops.var, 1e-9), 0.0)[:, None] \
+        * jnp.ones((1, 6))
 
-    w_prior = jnp.array([1.0 / cfg.prior_rot_var] * 3
-                        + [1.0 / cfg.prior_trans_var] * 3)
-    node_ok = jnp.arange(M) < n_nodes
-
-    fspec = P(axis)
-    rspec = P()  # replicated
+    nspec = P(axis)
+    rspec = P()
 
     @functools.partial(
         shard_map, mesh=mesh,
-        in_specs=(fspec, fspec, fspec, fspec, fspec, rspec, rspec),
-        out_specs=(rspec, rspec),
+        in_specs=(nspec, nspec, nspec, nspec,
+                  rspec, rspec, rspec, rspec, rspec),
+        out_specs=(nspec, nspec),
         check_vma=False,
     )
-    def solve(fi, fj, fR, ft, fw, R0, t0):
+    def solve(Rl, tl, cRl, ctl, lR, lt, priR, prit, li_lj):
+        li, lj = li_lj
+        m_loc = Rl.shape[0]
+        me = jax.lax.axis_index(axis)
+        idx_g = me * m_loc + jnp.arange(m_loc, dtype=jnp.int32)
+        node_ok = idx_g < n_nodes
+        chain_ok = (idx_g >= 1) & (idx_g < n_nodes)
+        inert = ~node_ok
+        is0 = idx_g == 0
+        fwd = [(d, (d + 1) % n_dev) for d in range(n_dev)]
+
+        def dist_cumsum(v):
+            """Global inclusive prefix sum along the sharded node axis."""
+            local = jnp.cumsum(v, axis=0)
+            totals = jax.lax.all_gather(local[-1], axis)     # (n_dev, 6)
+            pre = jnp.where((jnp.arange(n_dev) < me)[:, None], totals, 0.0)
+            return local + jnp.sum(pre, axis=0)
+
         def gn_body(_, Rt):
-            R_cur, t_cur = Rt
-            xi_p = Pose(R_cur[fi], t_cur[fi])
-            xj_p = Pose(R_cur[fj], t_cur[fj])
-            Z = Pose(fR, ft)
-            r = pg._between_residual(xi_p, xj_p, Z)
-            Ji = -pg._adjoint(se3.relative(xj_p, xi_p))
-            r0 = se3.se3_log(se3.compose(se3.inverse(prior),
-                                         Pose(R_cur[0], t_cur[0])))
+            Rl_c, tl_c = Rt
+            # Halo: previous node's pose from the left neighbor (junk on
+            # device 0's row 0, which is chain-invalid anyway).
+            haloR = jax.lax.ppermute(Rl_c[-1], axis, fwd)
+            halot = jax.lax.ppermute(tl_c[-1], axis, fwd)
+            Rprev = jnp.concatenate([haloR[None], Rl_c[:-1]], axis=0)
+            tprev = jnp.concatenate([halot[None], tl_c[:-1]], axis=0)
 
-            def reduce_nodes(vals_j, vals_i):
-                out = jax.ops.segment_sum(vals_j, fj, num_segments=M)
-                out = out + jax.ops.segment_sum(vals_i, fi, num_segments=M)
-                return jax.lax.psum(out, axis)
+            x_self = Pose(Rl_c, tl_c)
+            r_c = pg._between_residual(Pose(Rprev, tprev), x_self,
+                                       Pose(cRl, ctl))
+            r_c = jnp.where(chain_ok[:, None], r_c, 0.0)
+            B = pg._adjoint(se3.inverse(x_self))
+            B_inv = pg._adjoint(x_self)
 
-            wr = r * fw
-            b = reduce_nodes(wr, jnp.einsum("fab,fb->fa",
-                                            jnp.swapaxes(Ji, -1, -2), wr))
-            b = b.at[0].add(w_prior * r0)
+            r_p = se3.se3_log(se3.compose(
+                se3.inverse(Pose(priR, prit)), x_self))   # rowwise broadcast
+            Wrow = jnp.where(chain_ok[:, None], W_c[None, :], 0.0)
+            Wrow = jnp.where((is0 & (n_nodes > 0))[:, None],
+                             W_p[None, :], Wrow)
+            Winv_row = jnp.where(Wrow > 0,
+                                 1.0 / jnp.maximum(Wrow, 1e-30), 0.0)
+            r_rows = jnp.where(is0[:, None], r_p, r_c)
+
+            def D_apply(v):
+                return jnp.einsum("mab,ma->mb", B,
+                                  Wrow * jnp.einsum("mab,mb->ma", B, v))
+
+            def D_inv_apply(v):
+                return jnp.einsum("mab,mb->ma", B_inv,
+                                  Winv_row * jnp.einsum("mab,ma->mb",
+                                                        B_inv, v))
+
+            # Loop linearization against the gathered (tiny) global poses.
+            R_all = jax.lax.all_gather(Rl_c, axis, tiled=True)   # (M, 3, 3)
+            t_all = jax.lax.all_gather(tl_c, axis, tiled=True)
+            x_i = Pose(R_all[li], t_all[li])
+            x_j = Pose(R_all[lj], t_all[lj])
+            r_l = pg._between_residual(x_i, x_j, Pose(lR, lt))
+            B_l = pg._adjoint(se3.inverse(x_j))
+
+            def range_scatter_local(vals):
+                """Σ_l 1[lo<m<=hi]·vals_l, returned for the LOCAL rows
+                (replicated boundary-diff cumsum over global M, sliced)."""
+                d = jnp.zeros((M + 1, 6))
+                d = d.at[l_lo + 1].add(vals)
+                d = d.at[l_hi + 1].add(-vals)
+                full = jnp.cumsum(d, axis=0)[:M]
+                return jax.lax.dynamic_slice_in_dim(full, me * m_loc, m_loc)
+
+            g = jnp.einsum("mab,ma->mb", B, Wrow * r_rows)
+            a_l = sgn[:, None] * jnp.einsum("lab,la->lb", B_l, wl6 * r_l)
+            g = g + range_scatter_local(a_l)
+            g = jnp.where(inert[:, None], 0.0, g)
+
+            def gdot(a, b):
+                return jax.lax.psum(jnp.sum(a * b), axis)
 
             def hvp(v):
-                Jv = (jnp.einsum("fab,fb->fa", Ji, v[fi]) + v[fj]) * fw
-                out = reduce_nodes(
-                    Jv, jnp.einsum("fab,fb->fa", jnp.swapaxes(Ji, -1, -2), Jv))
-                out = out.at[0].add(w_prior * v[0])
-                return jnp.where(node_ok[:, None], out, v)
-
-            JtJ_i = jnp.einsum("fba,fb,fbc->fac", Ji, fw, Ji)
-            blocks = jax.ops.segment_sum(JtJ_i, fi, num_segments=M)
-            blocks = blocks + jax.ops.segment_sum(
-                jax.vmap(jnp.diag)(fw), fj, num_segments=M)
-            blocks = jax.lax.psum(blocks, axis)
-            blocks = blocks.at[0].add(jnp.diag(w_prior))
-            blocks = blocks + 1e-6 * jnp.eye(6)
-            blocks_inv = jnp.linalg.inv(blocks)
+                out = D_apply(v)
+                Qv = dist_cumsum(jnp.where(node_ok[:, None], v, 0.0))
+                Q_all = jax.lax.all_gather(Qv, axis, tiled=True)  # (M, 6)
+                S = Q_all[l_hi] - Q_all[l_lo]
+                y = jnp.einsum("lab,la->lb", B_l,
+                               wl6 * jnp.einsum("lab,lb->la", B_l, S))
+                out = out + range_scatter_local(y)
+                return jnp.where(inert[:, None], v, out)
 
             def precond(v):
-                return jnp.einsum("mab,mb->ma", blocks_inv, v)
+                return jnp.where(inert[:, None], v, D_inv_apply(v))
 
-            bneg = -b
-            b2 = jnp.sum(bneg * bneg)
+            b = -g
+            b2 = gdot(b, b)
 
             def pcg_cond(st):
-                i, x, rr, p, rz = st
-                return (i < cfg.pcg_iters) & (jnp.sum(rr * rr)
-                                              > cfg.pcg_tol * b2)
+                i, x, rr, p, rz, rr2 = st
+                return (i < cfg.pcg_iters) & (rr2 > cfg.pcg_tol * b2)
 
             def pcg_body(st):
-                i, x, rr, p, rz = st
+                i, x, rr, p, rz, _ = st
                 Hp = hvp(p)
-                alpha = rz / jnp.maximum(jnp.sum(p * Hp), 1e-30)
+                alpha = rz / jnp.maximum(gdot(p, Hp), 1e-30)
                 x = x + alpha * p
                 rr = rr - alpha * Hp
                 z = precond(rr)
-                rz_new = jnp.sum(rr * z)
+                rz_new = gdot(rr, z)
                 beta = rz_new / jnp.maximum(rz, 1e-30)
                 p = z + beta * p
-                return i + 1, x, rr, p, rz_new
+                return i + 1, x, rr, p, rz_new, gdot(rr, rr)
 
-            z0 = precond(bneg)
-            st = (jnp.int32(0), jnp.zeros((M, 6)), bneg, z0,
-                  jnp.sum(bneg * z0))
-            _, x, _, _, _ = jax.lax.while_loop(pcg_cond, pcg_body, st)
+            x0 = jnp.zeros((m_loc, 6))
+            z0 = precond(b)
+            st = (jnp.int32(0), x0, b, z0, gdot(b, z0), b2)
+            _, du, _, _, _, _ = jax.lax.while_loop(pcg_cond, pcg_body, st)
 
-            delta = jnp.where(node_ok[:, None], x, 0.0)
-            upd = se3.se3_exp(delta)
-            R_new = se3.mat3_mul(R_cur, upd.R)   # exact f32 (se3.mat3_mul)
-            t_new = se3.rotate_vec(R_cur, upd.t) + t_cur
+            du = jnp.where(node_ok[:, None], du, 0.0)
+            v = dist_cumsum(du)
+            v = jnp.where(node_ok[:, None], v, 0.0)
+            upd = se3.se3_exp(v)
+            R_new = se3.mat3_mul(upd.R, Rl_c)
+            t_new = se3.rotate_vec(upd.R, tl_c) + upd.t
             return R_new, t_new
 
-        return jax.lax.fori_loop(0, cfg.gn_iters, gn_body, (R0, t0))
+        return jax.lax.fori_loop(0, cfg.gn_iters, gn_body, (Rl, tl))
 
-    return solve(fi, fj, fR, ft, fww, R, t)
+    return solve(R, t, chain_R, chain_t, loops.R, loops.t,
+                 prior.R, prior.t, (loops.i, loops.j))

@@ -205,8 +205,13 @@ class OdometryConfig:
     # stable +-e oscillation).  Warping with a blend of the current and
     # previous twist cancels the alternating term: per-scan twist error drops
     # 0.027 -> 0.016 m mean at 0.5 on the courtyard benchmark, identical on
-    # undistorted scans.
-    warp_blend: float = 0.5
+    # undistorted scans.  DEFAULT 1.0 = the reference's own-transform warp
+    # (featureAssociation.cpp:885): the round-5 audit (PERF.md) measured the
+    # 0.5 blend trajectory-NEUTRAL on both ledger worlds at realistic noise
+    # (loop end drift 0.085 vs 0.049 m at 1.0; circuit 1.63 vs 1.61 m) — the
+    # per-scan twist smoothing no longer earns a divergence from reference
+    # semantics.  Set 0.5 to re-enable the damped warp.
+    warp_blend: float = 1.0
     # PluginIMURotation analogue (featureAssociation.cpp:955-1013, called from
     # integrateTransformation 1697-1725).  The reference de-rotates points to
     # scan-start IMU attitude (TransformToStartIMU), so its LM rotation covers
@@ -320,15 +325,25 @@ class MappingConfig:
     # gate measured best — the scan-to-map alignment of keyframes 2+ halves
     # the cold-start transient's contribution on fast trajectories (766 m
     # circuit end drift 3.38 -> 1.69 m) at no cost on the ring world
-    # (0.045 -> 0.047 m).  The round-2 value (4) predates that fix.
-    min_lm_keyframes: int = 2
+    # (0.045 -> 0.047 m).  The round-2 value (4) predates that fix; the
+    # round-5 audit (PERF.md) measured 0 (= reference, which has no such
+    # gate) NEUTRAL on both ledger worlds (circuit 1.45 vs baseline 1.63 m
+    # end drift), so the gate is OFF by default — the round-3 benefit was a
+    # symptom of since-fixed cold-start behavior.
+    min_lm_keyframes: int = 0
     # Per-step trust region on the LM's correction relative to the guess:
     # the guess already carries the previous correction, so a legitimate
     # NEW correction is bounded by odometry error accrued over one mapping
     # interval (~cm) plus map noise.  Steps beyond the cap are scaled down,
-    # keeping the direction (never hard-rejected).
-    max_step_trans: float = 0.30           # meters
-    max_step_rot_deg: float = 2.0
+    # keeping the direction (never hard-rejected).  0 disables — the
+    # DEFAULT since round 5: the audit (PERF.md) measured the trust region
+    # EXACTLY neutral on both ledger worlds (circuit 1.6313 vs 1.6314 m end
+    # drift), i.e. pure insurance that never fires outside genuinely
+    # degenerate jumps; the reference has no analogue, so default-off keeps
+    # the system explainable against it.  Re-enable (0.30 m / 2.0 deg) for
+    # environments with expected correspondence aliasing.
+    max_step_trans: float = 0.0            # meters
+    max_step_rot_deg: float = 0.0
     # Odometry prior anchored at the guess (MAP formulation): the solve
     # minimizes  Σ map residuals² + ‖ξ_from_guess‖²_W  with
     # W = diag(rot_std⁻², trans_std⁻²).  In directions the map constrains
